@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table readers and oracle-parity helpers.
+  *
+  * Parity rules (SURVEY.md §5.2): explicit ordering on a unique key set,
+  * floats rounded before output, sums of ints cast to BIGINT on the DuckDB
+  * side, ascending order keys declared NULLS FIRST in oracle SQL (DuckDB
+  * defaults to NULLS LAST; Spark's asc is NULLS FIRST).
+  */
+object T {
+
+  /** All fixture tables, for view registration / docs. */
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet reader. Schemas are embedded in parquet (no inference). */
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = tbl(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = tbl(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = tbl(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = tbl(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = tbl(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = tbl(s, d, "region")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and truncate to µs —
+    * bit-identical to DuckDB's own ns→µs read-time truncation, so oracle
+    * comparisons on ts are exact.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = tbl(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  /** Round for per-row arithmetic outputs (bit-identical across engines). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Round for sums over many rows — coarser, absorbs fp-ordering noise. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Round for money-magnitude sums (1e8+), where fp noise is largest. */
+  def r2(c: Column): Column = round(c, 2)
+
+  /** events.ts truncated to day as DATE (identical in Spark and DuckDB). */
+  def day(c: Column): Column = date_trunc("DAY", c).cast("date")
+}
+
+/** One bundle of driver-contract queries plus their DuckDB oracle SQL. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}

@@ -1,0 +1,411 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, filters, projections, aggregations, sorts, limits, set ops.
+  *
+  * Re-expresses the reference's log-analytics core (SURVEY.md §2.1–§2.7):
+  * the mediacounts TSV parse (`-` → 0, date parse, whitelist filter), the
+  * per-(entity, day) play-count aggregation that is the heart of
+  * `LogProcessor.parse` + the `FilePlaycount` point/range/last-N queries
+  * [UNVERIFIED reference cites — see SURVEY.md §0], plus engine-parity
+  * extensions (rollup/cube/grouping-sets, set ops, top-k).
+  *
+  * Scale notes (100 TB): every aggregation here is a hash aggregate with
+  * map-side partial aggregation; scans push filters and prune columns to
+  * the parquet reader (verified via explain in RelationalSpec); top-k is
+  * planned as TakeOrderedAndProject (no global sort).
+  */
+object Relational extends QueryModule {
+  import T._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans -----------------------------------------------------------
+    // Parquet scan with predicate + projection pushdown: the 2-column read
+    // of a 16-column table. Explain shows PushedFilters + pruned ReadSchema.
+    "scan_parquet_pushdown" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // The mediacounts TSV ingest pipeline as a self-contained roundtrip:
+    // serialize events rows to TSV lines, then parse back with split +
+    // try_cast (`-` placeholder → 0, exactly the reference's parse rule),
+    // aggregate per (day, event_type). bz2 TSV at rest is splittable; at
+    // 100 TB this is a plain distributed text scan with explicit schema.
+    "scan_tsv_logs" -> ((s, d) => {
+      val lines = events(s, d).select(concat_ws("\t",
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd"),
+        col("event_type"),
+        when(pmod(col("event_id"), lit(10)) === 0, lit("-"))
+          .otherwise(col("value").cast("string"))).as("line"))
+      val f = split(col("line"), "\t")
+      lines
+        .select(
+          element_at(f, 1).cast("long").as("event_id"),
+          to_date(element_at(f, 2), "yyyy-MM-dd").as("day"),
+          element_at(f, 3).as("event_type"),
+          coalesce(expr("try_cast(split(line, '\t')[3] AS DOUBLE)"), lit(0.0)).as("cnt"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("cnt"))).as("total"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- filters / projections ------------------------------------------
+    // Whitelist filter (playable-media filter analog): keep only rows in an
+    // allowed (lang, source) set above a size floor.
+    "filter_media_whitelist" -> ((s, d) => {
+      documents(s, d)
+        .filter(col("lang").isin("en", "de", "fr")
+          && col("source").isin("src0", "src1", "src2", "src3", "src4")
+          && col("n_chars") >= 40)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Play-count arithmetic analog: row-wise derived counter column
+    // (original + transcoded sums in the reference; price*(1-disc)*(1+tax)
+    // here — same shape: null-free arithmetic over numeric columns).
+    "proj_play_count" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          r6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("charged"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Percent-decode + path-prefix strip (LogProcessor title cleanup):
+    // url_encode/url_decode roundtrip + substring_index prefix strip.
+    "proj_url_decode" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"),
+          url_decode(url_encode(col("p_name"))).as("decoded"),
+          substring_index(
+            concat(lit("/wikipedia/commons/a/ab/"), col("p_name")), "/", -1).as("stripped"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Point/range lookup: WHERE user=? AND ts BETWEEN ? AND ? — the
+    // FilePlaycount date_range query shape. At rest this hits partition
+    // pruning on a date-partitioned layout.
+    "filter_date_predicate" -> ((s, d) => {
+      events(s, d)
+        .filter(col("user_id") === 7
+          && col("ts").between(
+            lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- aggregations ----------------------------------------------------
+    // FLAGSHIP: plays per (entity, day) — the reference's core daily
+    // aggregation. Partial + final hash agg; shuffles once on the group key.
+    "agg_daily_counts" -> ((s, d) => {
+      events(s, d)
+        .groupBy(day(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Date-range total + per-day detail in one result (rollup over day):
+    // the daterange API response (total + details list).
+    "agg_range_total" -> ((s, d) => {
+      events(s, d)
+        .filter(col("event_type") === "view"
+          && col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        .rollup(day(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
+        .orderBy(asc_nulls_first("day"))
+    }),
+
+    // Exact distinct per day (expand + two-phase agg under the hood).
+    "agg_distinct_users" -> ((s, d) => {
+      events(s, d)
+        .groupBy(day(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
+    }),
+
+    // Multiple distinct aggregates + a plain sum in one pass.
+    "agg_multi_distinct" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(day(col("ts"))).as("n_days"),
+          r4(sum(col("value"))).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // HLL sketch distinct — the 100 TB path for distinct counts. No oracle
+    // (sketch internals are engine-specific); rows-only check + ScalaTest
+    // asserts it lands within 5% of exact.
+    "agg_approx_hll" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+      """)
+    }),
+
+    // ---- sorts / limits / top-k -----------------------------------------
+    // Date-sorted per-file detail (the API's response ordering), with a
+    // secondary desc key.
+    "sort_detail_by_date" -> ((s, d) => {
+      events(s, d)
+        .filter(col("event_type") === "click")
+        .select(day(col("ts")).as("day"), col("event_id"), col("value"))
+        .orderBy(col("day"), desc("value"), col("event_id"))
+    }),
+
+    // Global top-10 by revenue: planned as TakeOrderedAndProject — per-
+    // partition heaps + driver merge, never a full sort at 100 TB.
+    "topk_global" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
+    "limit_offset" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+        .offset(10).limit(10)
+    }),
+
+    // ---- set operations --------------------------------------------------
+    // Union of day-slices (multi-day ingest is a UNION ALL of daily dumps).
+    "setop_union_all" -> ((s, d) => {
+      val e = events(s, d).select(day(col("ts")).as("day"), col("event_id"))
+      val a = e.filter(col("day") <= lit(java.sql.Date.valueOf("2024-01-10")))
+      val b = e.filter(col("day").between(
+        lit(java.sql.Date.valueOf("2024-01-05")), lit(java.sql.Date.valueOf("2024-01-15"))))
+      a.unionByName(b)
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }),
+
+    "setop_union_distinct" -> ((s, d) => {
+      val e = events(s, d)
+      val a = e.filter(day(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"), col("event_type"))
+      val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"), col("event_type"))
+      a.union(b).distinct().orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "setop_intersect" -> ((s, d) => {
+      val e = events(s, d)
+      val a = e.filter(day(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"))
+      val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"))
+      a.intersect(b).orderBy(col("user_id"))
+    }),
+
+    "setop_except" -> ((s, d) => {
+      val e = events(s, d)
+      val a = e.filter(day(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"), col("event_type"))
+      val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("user_id"), col("event_type"))
+      a.except(b).orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "scan_tsv_logs" -> """
+      WITH lines AS (
+        SELECT concat_ws(chr(9), CAST(event_id AS VARCHAR), strftime(ts, '%Y-%m-%d'),
+                         event_type,
+                         CASE WHEN event_id % 10 = 0 THEN '-' ELSE CAST(value AS VARCHAR) END)
+               AS line
+        FROM events
+      ), parsed AS (
+        SELECT CAST(string_split(line, chr(9))[1] AS BIGINT) AS event_id,
+               CAST(strptime(string_split(line, chr(9))[2], '%Y-%m-%d') AS DATE) AS day,
+               string_split(line, chr(9))[3] AS event_type,
+               coalesce(TRY_CAST(string_split(line, chr(9))[4] AS DOUBLE), 0.0) AS cnt
+        FROM lines
+      )
+      SELECT day, event_type, count(*) AS n, round(sum(cnt), 4) AS total
+      FROM parsed GROUP BY day, event_type ORDER BY day, event_type
+    """,
+
+    "filter_media_whitelist" -> """
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE lang IN ('en','de','fr') AND source IN ('src0','src1','src2','src3','src4')
+        AND n_chars >= 40
+      ORDER BY doc_id
+    """,
+
+    "proj_play_count" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 6) AS revenue,
+             round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "proj_url_decode" -> """
+      SELECT p_partkey, p_name AS decoded,
+             string_split('/wikipedia/commons/a/ab/' || p_name, '/')[-1] AS stripped
+      FROM part ORDER BY p_partkey
+    """,
+
+    "filter_date_predicate" -> """
+      SELECT event_id, ts, event_type, value
+      FROM events
+      WHERE user_id = 7
+        AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-15'
+      ORDER BY event_id
+    """,
+
+    "agg_daily_counts" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+
+    "agg_range_total" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events
+      WHERE event_type = 'view'
+        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      GROUP BY ROLLUP(1) ORDER BY day NULLS FIRST
+    """,
+
+    "agg_distinct_users" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY day
+    """,
+
+    "agg_multi_distinct" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+             round(sum(value), 4) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+
+    "agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+
+    "agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+
+    "sort_detail_by_date" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id, value
+      FROM events WHERE event_type = 'click'
+      ORDER BY day, value DESC, event_id
+    """,
+
+    "topk_global" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 6) AS revenue
+      FROM lineitem
+      ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+
+    "limit_offset" -> """
+      SELECT p_partkey, p_name, p_brand
+      FROM part ORDER BY p_partkey LIMIT 10 OFFSET 10
+    """,
+
+    "setop_union_all" -> """
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id FROM events)
+      SELECT day, count(*) AS n FROM (
+        SELECT * FROM e WHERE day <= DATE '2024-01-10'
+        UNION ALL
+        SELECT * FROM e WHERE day BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'
+      ) GROUP BY day ORDER BY day
+    """,
+
+    "setop_union_distinct" -> """
+      SELECT user_id, event_type FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-15'
+      UNION
+      SELECT user_id, event_type FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+      ORDER BY user_id, event_type
+    """,
+
+    "setop_intersect" -> """
+      SELECT user_id FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-15'
+      INTERSECT
+      SELECT user_id FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+      ORDER BY user_id
+    """,
+
+    "setop_except" -> """
+      SELECT user_id, event_type FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-15'
+      EXCEPT
+      SELECT user_id, event_type FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+      ORDER BY user_id, event_type
+    """
+  )
+}
