@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Joins
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join variants (SURVEY.md §2.3).
+  *
+  * The reference's only real join is the category roll-up — resolve a
+  * small member list, join to the counts table, sum (`AskCommons.py` +
+  * `FilePlaycount.py` [UNVERIFIED]); `join_broadcast_dim` is that shape.
+  * The rest give engine parity across every join strategy Spark plans.
+  *
+  * Scale notes (100 TB):
+  * - dimension joins broadcast explicitly (`broadcast()`) — no shuffle of
+  *   the fact side;
+  * - fact-fact joins shuffle on the join key once (MERGE hint pins SMJ,
+  *   the spill-safe choice for large-large);
+  * - the theta/band join is re-expressed as a bucketed EQUI-join (floor of
+  *   time / band width, ±1 bucket explode) so it shuffles instead of
+  *   falling into a broadcast-nested-loop cross product — the standard
+  *   interval-bucketing trick for range joins at scale;
+  * - the as-of join is a union + one window pass (single shuffle on
+  *   user_id), not a per-row correlated lookup.
+  */
+object Joins extends QueryModule {
+  import T._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Category roll-up analog: fact ⨝ broadcast dims, then aggregate.
+    "join_broadcast_dim" -> ((s, d) => {
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), r4(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Large-large sort-merge join on the shuffle key.
+    "join_smj_facts" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d).hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Same join, shuffled-hash strategy (no sort; build side hashed).
+    "join_shuffle_hash" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d).hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), r4(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Customers with zero orders kept (left outer + count of non-nulls).
+    "join_left_outer" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Full outer: event actors vs customer dimension — unmatched on both
+    // sides survive with nulls.
+    "join_full_outer" -> ((s, d) => {
+      val a = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val b = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      a.join(b, a("user_id") === b("c_custkey"), "full")
+        .select(coalesce(a("user_id"), b("c_custkey")).as("k"),
+          col("n_events"), col("c_mktsegment"))
+        .orderBy(col("k"))
+    }),
+
+    // Membership test: customers having at least one urgent order (EXISTS).
+    "join_semi" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Zero-fill gap detection: generated hour spine anti-joined against
+    // observed error hours — "dates with no plays" in the reference API.
+    "join_anti_zerofill" -> ((s, d) => {
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("2024-01-30 23:00:00")),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      val seen = events(s, d).filter(col("event_type") === "error")
+        .select(date_trunc("HOUR", col("ts")).as("hour")).distinct()
+      spine.join(seen, Seq("hour"), "left_anti").orderBy(col("hour"))
+    }),
+
+    // Band/theta join, bucketed: (purchase, error) pairs by the same user
+    // within ±5 minutes. floor(ts/5min) bucket + ±1 neighbor explode turns
+    // the range predicate into an equi-join; exact band filter after.
+    "join_theta_range" -> ((s, d) => {
+      val e = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val bandUs = 300L * 1000000L
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          explode(array(expr(s"us div $bandUs - 1"), expr(s"us div $bandUs"),
+            expr(s"us div $bandUs + 1"))).as("bucket"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("us").as("e_us"),
+          expr(s"us div $bandUs").as("e_bucket"))
+      p.join(err, col("user_id") === col("e_user") && col("bucket") === col("e_bucket"))
+        .filter(abs(col("p_us") - col("e_us")) <= bandUs)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // As-of join: each purchase → latest prior-or-equal click of the same
+    // user. Union + one window pass (last non-null over time) — a single
+    // shuffle on user_id; no correlated subquery, no cross product.
+    "join_asof_latest" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+        .rowsBetween(Long.MinValue, 0)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "join_cross_small" -> ((s, d) => {
+      region(s, d).select(col("r_name"))
+        .crossJoin(nation(s, d).select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "join_broadcast_dim" -> """
+      SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+
+    "join_smj_facts" -> """
+      SELECT o_orderpriority, count(*) AS n_lines,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+
+    "join_shuffle_hash" -> """
+      SELECT o_orderstatus, count(*) AS n_lines, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+
+    "join_left_outer" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey
+    """,
+
+    "join_full_outer" -> """
+      SELECT coalesce(a.user_id, b.c_custkey) AS k, a.n_events, b.c_mktsegment
+      FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) a
+      FULL JOIN customer b ON a.user_id = b.c_custkey
+      ORDER BY k
+    """,
+
+    "join_semi" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey
+    """,
+
+    "join_anti_zerofill" -> """
+      SELECT h AS hour
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(h)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events
+        WHERE event_type = 'error' AND date_trunc('hour', ts) = h)
+      ORDER BY hour
+    """,
+
+    "join_theta_range" -> """
+      SELECT p.user_id, count(*) AS n_pairs
+      FROM (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, epoch_us(ts) AS e_us FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND abs(p.p_us - e.e_us) <= 300000000
+      GROUP BY p.user_id ORDER BY p.user_id
+    """,
+
+    "join_asof_latest" -> """
+      SELECT p.event_id, p.user_id, max(c.ts) AS asof_click_ts
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+    """,
+
+    "join_cross_small" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name
+    """
+  )
+}
