@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.Joins
+    operators.Joins,
+    operators.Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * The reference's "last 30 / last 90 days" API (`FilePlaycount.py::last_30`
+  * [UNVERIFIED]) filters on a date lower bound per request; re-expressed
+  * set-at-a-time as a trailing range-frame window so ONE pass computes the
+  * answer for every (entity, day) — the 100 TB formulation. Running totals
+  * mirror the API's cumulative response shape; rank/lag/first-last complete
+  * the frame-spec surface.
+  *
+  * Scale notes (100 TB):
+  * - every window below partitions by a key (event_type / brand / segment)
+  *   — one shuffle on the partition key, then a per-partition sort; no
+  *   global sort, no unbounded single-partition window anywhere;
+  * - trailing windows run over the PRE-AGGREGATED daily table (30 rows per
+  *   entity-month, not raw events), so frame evaluation is O(days) not
+  *   O(events) — aggregate first, window second;
+  * - doubles are rounded before AND after windowed sums so fp accumulation
+  *   order can't break oracle parity.
+  */
+object Windows extends QueryModule {
+  import T._
+
+  /** Daily (event_type, day, n, total) pre-aggregate both windows build on.
+    * Rounded at the daily grain so both engines window identical inputs.
+    */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), day(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("daily_total"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [R] heart: per-entity trailing-30-day sum, evaluated for every day.
+    "win_trailing_30d" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-29L * 86400L, 0L)
+      daily(s, d)
+        .select(col("event_type"), col("day"), col("n"),
+          r4(sum(col("daily_total")).over(w)).as("trailing_30d"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Cumulative plays per entity over time.
+    "win_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily(s, d)
+        .select(col("event_type"), col("day"),
+          sum(col("n")).over(w).as("cum_events"),
+          r4(sum(col("daily_total")).over(w)).as("cum_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Top-3 parts by retail price per brand; price ties broken by partkey
+    // so row_number is deterministic in both engines.
+    "win_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(desc("p_retailprice"), col("p_partkey"))
+      part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // rank / dense_rank / ntile(4) / percent_rank in one pass. Order key
+    // includes the unique c_custkey so ntile bucket assignment is stable.
+    "win_rank_dense_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    }),
+
+    // Day-over-day delta per entity (lag/lead).
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily(s, d)
+        .select(col("event_type"), col("day"), col("n"),
+          lag(col("n"), 1).over(w).as("prev_n"),
+          lead(col("n"), 1).over(w).as("next_n"),
+          (col("n") - lag(col("n"), 1).over(w)).as("delta"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // first_value/last_value with an explicit full-partition frame (the
+    // default frame stops at CURRENT ROW — the classic last_value trap).
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    })
+  )
+
+  private val dailyCte = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n, round(sum(value), 4) AS daily_total
+      FROM events GROUP BY 1, 2
+    )
+  """
+
+  def oracleSql: Map[String, String] = Map(
+    "win_trailing_30d" -> (dailyCte + """
+      SELECT event_type, day, n,
+             round(sum(daily_total) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW), 4)
+               AS trailing_30d
+      FROM daily ORDER BY event_type, day
+    """),
+
+    "win_running_total" -> (dailyCte + """
+      SELECT event_type, day,
+             CAST(sum(n) OVER w AS BIGINT) AS cum_events,
+             round(sum(daily_total) OVER w, 4) AS cum_value
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, day
+    """),
+
+    "win_rank_topk" -> """
+      SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part)
+      WHERE rn <= 3 ORDER BY p_brand, rn
+    """,
+
+    "win_rank_dense_ntile" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+
+    "win_lag_lead" -> (dailyCte + """
+      SELECT event_type, day, n,
+             lag(n, 1) OVER w AS prev_n,
+             lead(n, 1) OVER w AS next_n,
+             n - lag(n, 1) OVER w AS delta
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      ORDER BY event_type, day
+    """),
+
+    "win_first_last" -> """
+      SELECT o_orderstatus, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER w AS last_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderstatus, o_orderkey
+    """
+  )
+}
