@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.Joins,
-    operators.Windows
+    operators.Windows,
+    operators.Functions
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8).
+  *
+  * The reference's scalar surface is string split/strip/unquote, date parse
+  * + day arithmetic, and integer sums (`LogProcessor.py::parse`,
+  * `FilePlaycount.py` [UNVERIFIED]); one query key per family gives engine
+  * parity without bloating the contract map.
+  *
+  * All functions here are builtin Catalyst expressions — codegen'd, no
+  * UDFs — so every projection stays inside WholeStageCodegen at 100 TB.
+  * Dialect notes per key live next to the oracle SQL (DuckDB `log` is
+  * log10 → use `ln`; DuckDB `regexp_replace` is first-match → 'g' flag;
+  * Spark `dayofweek` is 1-based Sunday vs DuckDB 0-based).
+  */
+object Functions extends QueryModule {
+  import T._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // split_part / regexp / translate / lpad / levenshtein / trim.
+    "fn_string" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lower_name"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        concat_ws("|", lpad(col("p_brand"), 12, "_"),
+          translate(col("p_type"), " ", "_")).as("tag"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        length(trim(col("p_name"))).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Day-granular date arithmetic (the reference's timedelta(days=30)
+    // shape); month arithmetic via explicit year*12+month (portable,
+    // unlike months_between).
+    "fn_date" -> ((s, d) => {
+      val od = col("o_orderdate").cast("date")
+      orders(s, d).select(
+        col("o_orderkey"),
+        od.as("od"),
+        date_add(od, 30).as("plus30"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), od).as("days_to_end"),
+        date_trunc("MONTH", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(od).as("month_end"),
+        (dayofweek(od) - 1).as("dow"),
+        ((year(od) - 1995) * 12 + month(od) - 1).as("months_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math" -> ((s, d) => {
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        r6(abs(col("l_discount") - 0.05)).as("disc_dev"),
+        r6(sqrt(col("l_quantity"))).as("qty_sqrt"),
+        r6(log(col("l_extendedprice"))).as("price_ln"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        r6(greatest(col("l_tax"), col("l_discount"))).as("max_rate"),
+        r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Array ops + higher-order functions over tokenized text.
+    "fn_array" -> ((s, d) => {
+      val tokens = split(col("text"), " ")
+      documents(s, d).select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct"),
+        array_contains(tokens, "scan").as("has_scan"),
+        concat_ws(",", slice(sort_array(array_distinct(tokens)), 1, 5)).as("first5"),
+        expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)")
+          .as("sum_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Map construction + lookup + key enumeration; compared via scalar
+    // projections (DuckDB MAP wire shape differs — SURVEY §2.8 fn_map).
+    "fn_map" -> ((s, d) => {
+      val tokens = split(col("text"), " ")
+      val m = map_from_arrays(
+        array(lit("n_chars"), lit("n_tokens")),
+        array(col("n_chars"), size(tokens).cast("long")))
+      documents(s, d).select(
+        col("doc_id"),
+        element_at(m, "n_chars").as("chars_v"),
+        element_at(m, "n_tokens").as("tokens_v"),
+        size(m).as("m_size"),
+        concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON extraction from the events.props payload column.
+    "fn_json" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_schema"))
+        .orderBy(col("event_id"))
+    }),
+
+    // CASE/coalesce/nullif/nvl2 — the `-` → 0 placeholder rule generalized.
+    "fn_conditional" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        when(col("value") > 100, "high")
+          .when(col("value") > 50, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("masked"),
+        expr("nvl2(nullif(event_type, 'error'), 'ok', 'err')").as("flag"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Generator / UDTF surface: posexplode of token arrays (bounded to the
+    // first 50 docs so the result set stays small and ordered).
+    "fn_explode_generator" -> ((s, d) => {
+      documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "token")
+        .orderBy(col("doc_id"), col("pos"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fn_string" -> """
+      SELECT p_partkey, lower(p_name) AS lower_name,
+             split_part(p_type, ' ', 1) AS type_head,
+             regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+             lpad(p_brand, 12, '_') || '|' || translate(p_type, ' ', '_') AS tag,
+             CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+             CAST(length(trim(p_name)) AS INT) AS name_len
+      FROM part ORDER BY p_partkey
+    """,
+
+    "fn_date" -> """
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+               AS days_to_end,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+             CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INT)
+               AS months_since
+      FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice, 1) AS price_r1,
+             round(abs(l_discount - 0.05), 6) AS disc_dev,
+             round(sqrt(l_quantity), 6) AS qty_sqrt,
+             round(ln(l_extendedprice), 6) AS price_ln,
+             floor(l_extendedprice) AS price_floor,
+             ceil(l_extendedprice) AS price_ceil,
+             l_orderkey % 7 AS key_mod7,
+             round(greatest(l_tax, l_discount), 6) AS max_rate,
+             round(least(l_tax, l_discount), 6) AS min_rate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "fn_array" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             list_contains(string_split(text, ' '), 'scan') AS has_scan,
+             array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+               AS first5,
+             CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT)
+               AS sum_token_len
+      FROM documents ORDER BY doc_id
+    """,
+
+    "fn_map" -> """
+      SELECT doc_id, n_chars AS chars_v,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_v,
+             2 AS m_size,
+             'n_chars,n_tokens' AS keys_sorted
+      FROM documents ORDER BY doc_id
+    """,
+
+    "fn_json" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
+      FROM events ORDER BY event_id
+    """,
+
+    "fn_conditional" -> """
+      SELECT event_id,
+             CASE WHEN value > 100 THEN 'high'
+                  WHEN value > 50 THEN 'mid' ELSE 'low' END AS band,
+             coalesce(nullif(event_type, 'error'), 'ERR') AS masked,
+             CASE WHEN nullif(event_type, 'error') IS NOT NULL
+                  THEN 'ok' ELSE 'err' END AS flag
+      FROM events ORDER BY event_id
+    """,
+
+    "fn_explode_generator" -> """
+      SELECT doc_id,
+             CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+      ORDER BY doc_id, pos
+    """
+  )
+}
