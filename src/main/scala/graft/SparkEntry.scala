@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational,
     operators.Joins,
     operators.Windows,
-    operators.Functions
+    operators.Functions,
+    operators.Dedup
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
