@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Joins,
     operators.Windows,
     operators.Functions,
-    operators.Dedup
+    operators.Dedup,
+    operators.TextAnalysis
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents` (BASELINE.json mandate: language
+  * ID, quality scoring, token counting, document fingerprinting).
+  *
+  * Everything is builtin-expression arithmetic (no UDFs) so each op is
+  * codegen'd AND byte-reproducible in the DuckDB oracle. The lang-ID
+  * marker lists and quality-score weights are fixed constants — the point
+  * here is the distributed plumbing (tokenize → score → argmax per row;
+  * explode → count at corpus scale), not linguistic accuracy.
+  *
+  * Scale notes (100 TB):
+  * - per-document ops (lang-ID, quality, token counts, fingerprints) are
+  *   pure map-side projections — zero shuffles, full WholeStageCodegen;
+  * - corpus-level TF is the canonical two-phase hash aggregate: map-side
+  *   partial counts per token, one shuffle on token, top-k via
+  *   TakeOrderedAndProject (never a global sort of the vocabulary);
+  * - lang_stats'  top-source-per-lang uses a window over the SMALL
+  *   (lang × source) aggregate, not over raw rows.
+  */
+object TextAnalysis extends QueryModule {
+  import T._
+
+  private val P = 2147483647L
+
+  private def sparkCode(x: String): String =
+    s"aggregate(transform(split($x, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % $P)"
+  private def duckCode(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % $P)"
+
+  /** Marker tokens per language — tiny fixed profiles for the n-gram /
+    * stopword language-ID heuristic. Tie-break: first lang in CASE order.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "una", "que"),
+    "fr" -> Seq("le", "et", "les", "dans"),
+    "zh" -> Seq("shi", "bu", "wo", "zhe"))
+
+  private def inList(ts: Seq[String]) = ts.map("'" + _ + "'").mkString(", ")
+  // Spark + DuckDB marker-count expressions (lambda filter over tokens).
+  private def sparkScore(ts: Seq[String]) =
+    s"size(filter(split(text, ' '), t -> t IN (${inList(ts)})))"
+  private def duckScore(ts: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ts)})))"
+
+  private val stop = Seq("the", "and", "of", "to", "a", "in", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus term frequency: tokenize → explode → count; top-50 terms.
+    "text_tokenize_tf" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("token"))
+        .limit(50)
+    }),
+
+    // Per-language corpus stats + most common source (window over the
+    // small (lang, source) aggregate; count-desc, source-asc tie-break).
+    "text_lang_stats" -> ((s, d) => {
+      val perSrc = documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("source"))
+      perSrc
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"),
+          r4(sum(col("chars")) / sum(col("n"))).as("avg_chars"),
+          max(when(col("rn") === 1, col("source"))).as("top_source"))
+        .orderBy(col("lang"))
+    }),
+
+    // Language ID: marker-token voting with a deterministic CASE-order
+    // tie-break; emits the winning lang and its score per document.
+    "text_lang_id" -> ((s, d) => {
+      val scored = documents(s, d).select(
+        (col("doc_id") +: col("lang").as("actual_lang") +:
+          markers.map { case (l, ts) => expr(sparkScore(ts)).as(s"s_$l") }): _*)
+      val langs = markers.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      val score = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      scored.select(col("doc_id"), col("actual_lang"),
+          expr(pred).as("pred_lang"), expr(score).as("pred_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length, stopword ratio, type-token ratio, mean
+    // token length → fixed-weight composite in [0, 1].
+    "text_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)) / nTok
+      val stopRatio = expr(s"size(filter(split(text, ' '), t -> t IN (${inList(stop)})))") / nTok
+      val avgLen = expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)") / nTok
+      val lenScore = least(nTok, lit(100.0)) / 100.0
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        r6(ttr).as("type_token_ratio"),
+        r6(stopRatio).as("stopword_ratio"),
+        r6(avgLen).as("avg_token_len"),
+        r6(ttr * 0.4 + lenScore * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+          + stopRatio * 0.1).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting three ways: whitespace split, BPE-ish regex pieces
+    // (letter runs / digit runs / other), chars-per-token estimate.
+    "text_token_count" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS INT)").as("bpe_tokens"),
+        expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: full-text rolling hash, winnowing-style
+    // minimum shingle hash, and a 1024-way locality bucket.
+    "text_fingerprint" -> ((s, d) => {
+      val toks = "split(text, ' ')"
+      val sh3 = s"transform(sequence(1, size($toks) - 2), i -> concat_ws(' ', element_at($toks, i), element_at($toks, i + 1), element_at($toks, i + 2)))"
+      documents(s, d).select(
+        col("doc_id"),
+        expr(sparkCode("text")).as("fp_full"),
+        expr(s"CASE WHEN size($toks) >= 3 THEN array_min(transform($sh3, s -> ${sparkCode("s")})) ELSE ${sparkCode("text")} END").as("fp_min_shingle"),
+        expr(s"${sparkCode("text")} % 1024").as("fp_bucket"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val langs = markers.map(_._1)
+    val duckPred = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+
+    Map(
+      "text_tokenize_tf" -> """
+        SELECT token, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY tf DESC, token LIMIT 50
+      """,
+
+      "text_lang_stats" -> """
+        WITH per_src AS (
+          SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+          FROM documents GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+          FROM per_src)
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+               round(sum(chars) / sum(n), 4) AS avg_chars,
+               max(CASE WHEN rn = 1 THEN source END) AS top_source
+        FROM ranked GROUP BY lang ORDER BY lang
+      """,
+
+      "text_lang_id" -> s"""
+        WITH scored AS (
+          SELECT doc_id, lang AS actual_lang,
+                 ${markers.map { case (l, ts) => s"${duckScore(ts)} AS s_$l" }.mkString(",\n                 ")}
+          FROM documents)
+        SELECT doc_id, actual_lang,
+               $duckPred AS pred_lang,
+               CAST(greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS INT) AS pred_score
+        FROM scored ORDER BY doc_id
+      """,
+
+      "text_quality_score" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop)}))) AS n_stop,
+                 list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_len
+          FROM documents)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+               round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+               round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+               round(n_distinct / CAST(n_tokens AS DOUBLE) * 0.4
+                     + least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.3
+                     + least(sum_len / CAST(n_tokens AS DOUBLE) / 10.0, 1.0) * 0.2
+                     + n_stop / CAST(n_tokens AS DOUBLE) * 0.1, 6) AS quality
+        FROM t ORDER BY doc_id
+      """,
+
+      "text_token_count" -> """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        FROM documents ORDER BY doc_id
+      """,
+
+      "text_fingerprint" -> s"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, text,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh3
+          FROM t)
+        SELECT doc_id,
+               ${duckCode("text")} AS fp_full,
+               CASE WHEN len(sh3) > 0
+                    THEN list_min(list_transform(sh3, s -> ${duckCode("s")}))
+                    ELSE ${duckCode("text")} END AS fp_min_shingle,
+               ${duckCode("text")} % 1024 AS fp_bucket
+        FROM sh ORDER BY doc_id
+      """
+    )
+  }
+}
