@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Windows,
     operators.Functions,
     operators.Dedup,
-    operators.TextAnalysis
+    operators.TextAnalysis,
+    operators.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search + multimodal columns over `embeddings`/`documents`
+  * (BASELINE.json mandate: ANN over an embedding column, multimodal
+  * binary columns, custom aggregation state).
+  *
+  * Cosine similarity is pure higher-order-function arithmetic
+  * (`zip_with` products folded left-to-right in DOUBLE) — no UDF, stays
+  * inside codegen, and the identical fold is expressible in DuckDB for the
+  * oracle (SURVEY.md §2.10 expr_cosine).
+  *
+  * Scale notes (100 TB):
+  * - brute-force top-k is the correctness baseline: one broadcast of the
+  *   probe row, map-side cosine, TakeOrderedAndProject — no shuffle of the
+  *   vector table and no driver collect;
+  * - the ANN path is sign-LSH with FIXED arithmetic hyperplanes (no RNG —
+  *   reproducible across engines and runs): 8 planes → 256 buckets; at
+  *   scale the bucket id becomes the shuffle/partition key so a probe
+  *   touches 1/256th of the data; recall is tunable by multi-probing
+  *   neighboring buckets (not needed on fixtures);
+  * - embedding near-dup kNN blocks on `label` (a real pipeline would block
+  *   on coarse quantization cells) so the pair space is |label|× smaller
+  *   than the n² cross join;
+  * - the vector-average UDAF is a typed Aggregator with map-side partial
+  *   merge — state is one (sums[64], count) buffer per group, the same
+  *   shape Spark's own avg uses.
+  */
+object Similarity extends QueryModule {
+  import T._
+
+  /** Left-to-right double-precision dot product a·b (both array<float>). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  private def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Deterministic LSH hyperplane weight for (plane p, 1-based dim i):
+    * pseudo-random int in [-998, 998] from fixed affine arithmetic —
+    * identical in both engines, no RNG.
+    */
+  private def planeW(p: Int): String =
+    s"(CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i - 1) + 12345) % 1997 AS DOUBLE) - 998)"
+  private def sparkBucket(emb: String): String =
+    (0 until 8).map { p =>
+      s"shiftleft(CASE WHEN aggregate(transform(sequence(1, 64), i -> CAST(element_at($emb, i) AS DOUBLE) * ${planeW(p)}), CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END, $p)"
+    }.mkString(" + ")
+  private def duckBucket(emb: String): String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * ${planeW(p)})) > 0 THEN 1 ELSE 0 END << $p)"
+    }.mkString(" + ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-10 cosine neighbors of probe vec_id = 0.
+    "sim_topk_neighbors" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
+    "sim_ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket", expr(sparkBucket("embedding")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
+      e.crossJoin(broadcast(probe))
+        .filter(col("bucket") === col("probe_bucket") && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("bucket"),
+          r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(5)
+    }),
+
+    // Embedding near-dup: each vector's nearest neighbor within its label
+    // block. Cosine rounded BEFORE ranking so ties break identically in
+    // both engines (by neighbor id).
+    "dedup_embed_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+          col("b.vec_id").as("nn_id"),
+          r6(expr(cosine("a.embedding", "b.embedding"))).as("cos"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nn_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("nn_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Typed UDAF: per-label mean embedding via a custom Aggregator with
+    // (sums[64], count) partial state — map-side combine, one shuffle.
+    "udaf_vector_avg" -> ((s, d) => {
+      val meanVec = udaf(VectorAvg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      s.udf.register("mean_vec", meanVec)
+      embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(expr("mean_vec(embedding)").as("mv"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          expr("transform(mv, x -> round(x, 6))").as("mean_vec"))
+        .orderBy(col("label"))
+    }),
+
+    // Multimodal row: text + typed metadata + vector in one result; filter
+    // on both modalities, derive per-modality features.
+    "multimodal_join" -> ((s, d) => {
+      documents(s, d)
+        .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+        .filter(col("lang").isin("en", "de") && col("label") < 5)
+        .select(col("doc_id"), col("lang"), col("label"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          r6(expr(s"sqrt(${dot("embedding", "embedding")})")).as("vec_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal binary column pipeline: text → opaque bytes → per-
+    // partition imperative "decode" (mapPartitions — the Scala analog of
+    // mapInPandas batch UDFs). The decode itself is a deterministic stub
+    // (real image/audio libs are out of scope); the distributed plumbing —
+    // binary column, typed Dataset, per-partition batching, schema of the
+    // feature output — is real and oracle-checked byte-for-byte.
+    "multimodal_binary" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // STUB decode: byte stats stand in for pixel/sample decoding.
+          val byteSum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val headHex = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          (id, bytes.length, byteSum, headHex)
+        })
+        .toDF("doc_id", "byte_len", "byte_sum", "head_hex")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk_neighbors" -> s"""
+      WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe
+      WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+
+    "sim_ann_lsh" -> s"""
+      WITH b AS (
+        SELECT vec_id, label, embedding, ${duckBucket("embedding")} AS bucket
+        FROM embeddings),
+      probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
+      SELECT vec_id, label, bucket,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM b, probe
+      WHERE bucket = pb AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+
+    "dedup_embed_cosine" -> s"""
+      WITH pairs AS (
+        SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+               round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, nn_id) AS rn
+        FROM pairs)
+      SELECT vec_id, label, nn_id, cos FROM ranked WHERE rn = 1
+      ORDER BY vec_id
+    """,
+
+    "udaf_vector_avg" -> """
+      WITH per_dim AS (
+        SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i)
+      SELECT label,
+             (SELECT count(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vecs,
+             list(round(m, 6) ORDER BY i) AS mean_vec
+      FROM per_dim GROUP BY label
+      ORDER BY label
+    """,
+
+    "multimodal_join" -> s"""
+      SELECT doc_id, lang, label,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             round(sqrt(${duckDot("embedding", "embedding")}), 6) AS vec_norm
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      WHERE lang IN ('en', 'de') AND label < 5
+      ORDER BY doc_id
+    """,
+
+    "multimodal_binary" -> """
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS byte_len,
+             CAST(list_sum(list_transform(string_split(text, ''),
+                  c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
+             lower(hex(substring(text, 1, 4))) AS head_hex
+      FROM documents ORDER BY doc_id
+    """
+  )
+}
+
+/** Mean of float vectors: state = (per-dim double sums, count). The
+  * Aggregator surface exercises custom partial-merge state (SURVEY §2.10).
+  */
+object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+  def zero: (Array[Double], Long) = (new Array[Double](64), 0L)
+  def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+    var i = 0
+    while (i < a.length) { b._1(i) += a(i); i += 1 }
+    (b._1, b._2 + 1)
+  }
+  def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0
+    while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+    (x._1, x._2 + y._2)
+  }
+  def finish(r: (Array[Double], Long)): Array[Double] =
+    if (r._2 == 0) Array.empty else r._1.map(_ / r._2)
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}
