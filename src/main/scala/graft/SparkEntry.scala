@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Functions,
     operators.Dedup,
     operators.TextAnalysis,
-    operators.Similarity
+    operators.Similarity,
+    operators.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

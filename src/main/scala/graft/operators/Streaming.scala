@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing (SURVEY.md §2.9).
+  *
+  * The reference's cron-driven daily batch (`LogProcessor.full_run`
+  * [UNVERIFIED]) is semantically a 1-day tumbling window over the event
+  * stream; these keys express tumbling / sliding / session windows with
+  * Spark's `window()` / `session_window()` in batch mode so they fit the
+  * driver's DataFrame contract and get a DuckDB oracle. The SAME
+  * expressions run under `readStream` — exercised with `MemoryStream` +
+  * watermarks in StreamingSpec (no oracle there; golden asserts).
+  *
+  * Scale notes (100 TB):
+  * - tumbling/sliding windows are plain hash aggregates on (window, key) —
+  *   map-side partial agg applies; the sliding window fans each row out to
+  *   exactly windowDuration/slideDuration (= 2) buckets before the agg;
+  * - session windows shuffle once on user_id; in true streaming the state
+  *   store holds one open session per key, bounded by the watermark;
+  * - in streaming mode the watermark bounds state: late rows beyond
+  *   10 minutes are dropped — verified in StreamingSpec.
+  */
+object Streaming extends QueryModule {
+  import T._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Daily tumbling window ≡ the reference's per-day batch roll-up.
+    "stream_tumbling_daily" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // 1-hour windows sliding every 30 minutes: each event lands in exactly
+    // two windows (epoch-aligned starts in both engines).
+    "stream_sliding_1h30m" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("wstart"), col("n"), col("n_users"))
+        .orderBy(col("wstart"))
+    }),
+
+    // Per-user session windows, 5-minute gap. Session end = last event +
+    // gap (end-exclusive merge: an event at exactly prev_end starts a new
+    // session) — the oracle's gaps-and-islands flag uses >= to match.
+    "stream_session_5m" -> ((s, d) => {
+      events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("total"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_tumbling_daily" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type
+    """,
+
+    "stream_sliding_1h30m" -> """
+      WITH fanout AS (
+        SELECT user_id,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                 AS wstart
+        FROM events)
+      SELECT wstart, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM fanout GROUP BY wstart ORDER BY wstart
+    """,
+
+    "stream_session_5m" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '5 minutes' AS session_end,
+             count(*) AS n_events, round(sum(value), 4) AS total
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """
+  )
+}
