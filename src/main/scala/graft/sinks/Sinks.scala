@@ -1,0 +1,54 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1): the reference's daily upsert into MySQL
+  * (`LogProcessor.py` insert loop [UNVERIFIED]) re-expressed as the
+  * 100 TB-scale pattern — date-partitioned parquet with idempotent
+  * partition overwrite. No JDBC here by design: at scale the rest format
+  * IS the table, and a day's re-run must replace exactly that day's
+  * partition (dynamic partition overwrite), never touch the rest.
+  *
+  * Exercised by SinkSpec (unit tests) rather than `SparkEntry.queries` —
+  * sinks return no DataFrame for the driver to hash.
+  */
+object Sinks {
+
+  /** Write `df` partitioned by `partitionCol` (e.g. day). Executor-side
+    * writes, one directory per partition value — partition pruning serves
+    * the reference's `WHERE date BETWEEN` queries from directory listing.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Idempotent daily upsert — the reference's cron re-run semantics:
+    * replace ONLY the partitions present in `delta`, leave others intact.
+    * Uses dynamic partition overwrite (no read-modify-write of the whole
+    * table, no delete-then-append race).
+    */
+  def upsertPartitions(spark: SparkSession, delta: DataFrame, path: String,
+                       partitionCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    delta.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** The reference's daily ingest → counts-table load, end to end:
+    * events for one day → per-(entity, day) counts → upsert that day's
+    * partition.
+    */
+  def ingestDay(spark: SparkSession, events: DataFrame, day: String,
+                path: String): Unit = {
+    val delta = events
+      .filter(date_trunc("DAY", col("ts")).cast("date") === lit(java.sql.Date.valueOf(day)))
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+    upsertPartitions(spark, delta, path, "day")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design contract (SURVEY §4.2):
+  * pushdown reaches the parquet scan, dimensions broadcast, top-k avoids
+  * a global sort, whole-stage codegen covers the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_parquet_pushdown pushes filters and prunes columns") {
+    val p = plan("scan_parquet_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"no pushed filters in:\n$p")
+    assert(!p.contains("l_extendedprice"), "ReadSchema not pruned: reads l_extendedprice")
+  }
+
+  test("join_broadcast_dim plans broadcast hash joins, not shuffles") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
+  }
+
+  test("join_smj_facts honors the MERGE hint") {
+    assert(plan("join_smj_facts").contains("SortMergeJoin"))
+  }
+
+  test("join_shuffle_hash honors the SHUFFLE_HASH hint") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("topk_global is TakeOrderedAndProject (no global sort)") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("flagship agg is a two-phase hash aggregate with codegen") {
+    val df = SparkEntry.queries("agg_daily_counts")(spark, sf)
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"))
+    // WholeStageCodegen spans print as "*(n)" in the final AQE plan.
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("events scan reads only needed columns for agg_daily_counts") {
+    val p = plan("agg_daily_counts")
+    assert(!p.contains("props"), "agg_daily_counts should not read the props column")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True Structured Streaming behavior — watermarks, late-data drop,
+  * stateful dedup, and the foreachBatch upsert that makes the reference's
+  * daily cron incremental (SURVEY §2.9). No oracle: golden asserts over
+  * hand-built MemoryStream sequences with explicitly advanced watermarks.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late rows in append-mode tumbling agg") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("wm_tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: two rows in window [00:00, 00:10); watermark advances to
+      // max(ts) - 10m after processing.
+      mem.addData((ts("2024-01-01 00:01:00"), "a"), (ts("2024-01-01 00:05:00"), "a"))
+      q.processAllAvailable()
+      // Batch 2: push event time far ahead → watermark passes 00:20,
+      // closing the first window; its row is emitted.
+      mem.addData((ts("2024-01-01 00:31:00"), "a"))
+      q.processAllAvailable()
+      // Batch 3: a LATE row for the closed window — must be dropped.
+      mem.addData((ts("2024-01-01 00:02:00"), "a"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:59:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_tumbling")
+        .select(col("window.start").cast("string"), col("count")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // First window emitted with count 2 — the late row did NOT bump it to 3.
+      assert(rows("2024-01-01 00:00:00") == 2L,
+        s"late row leaked into closed window: $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 1L),
+        (ts("2024-01-01 00:03:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() == 2,
+        "duplicate event_id within watermark not dropped")
+    } finally q.stop()
+  }
+
+  test("foreachBatch incremental upsert matches batch recompute") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val daily = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 day")
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = daily.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sinks.Sinks.upsertPartitions(spark, batch, out, "day")
+      }
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 01:00:00"), "view", 1.0),
+        (ts("2024-01-01 02:00:00"), "view", 2.0),
+        (ts("2024-01-02 01:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      // Day 1 gets more data → its partition is REPLACED with updated agg.
+      mem.addData((ts("2024-01-01 03:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      val result = spark.read.parquet(out)
+        .orderBy(col("day"), col("event_type"))
+        .select(col("day").cast("string"), col("event_type"), col("n"), col("total"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(result.toSeq == Seq(
+        ("2024-01-01", "view", 3L, 7.0),
+        ("2024-01-02", "click", 1L, 5.0)), s"got: ${result.toSeq}")
+    } finally q.stop()
+  }
+}
