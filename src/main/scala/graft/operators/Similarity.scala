@@ -73,6 +73,20 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // The scalar cosine expression itself (SURVEY §2.10 expr_cosine):
+    // map-side HOF arithmetic, no shuffle, no UDF.
+    "expr_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      e.filter(col("vec_id") > 0 && col("vec_id") <= 100)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          r6(expr(dot("embedding", "probe_emb"))).as("dot"),
+          r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
     "sim_ann_lsh" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -160,6 +174,16 @@ object Similarity extends QueryModule {
       FROM embeddings, probe
       WHERE vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+
+    "expr_cosine" -> s"""
+      WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+             round(${duckDot("embedding", "p")}, 6) AS dot,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe
+      WHERE vec_id > 0 AND vec_id <= 100
+      ORDER BY vec_id
     """,
 
     "sim_ann_lsh" -> s"""
