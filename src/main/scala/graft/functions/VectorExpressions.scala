@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for `array<float>` dot product with
+  * whole-stage codegen (SURVEY §4.3: optional, bench-gated — the HOF
+  * `aggregate(zip_with(...))` formulation is interpreted per-element and
+  * dominated the similarity benchmarks at sf0.1; this generates a tight
+  * primitive loop instead).
+  *
+  * Arithmetic contract (oracle parity): identical to the HOF form and the
+  * DuckDB fragment — left-to-right accumulation in DOUBLE of
+  * (double)a[i] * (double)b[i]. Same op order ⇒ bit-identical results.
+  */
+case class DotF32(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  /** Idempotently register `dot_f32` in the session's function registry so
+    * plain `expr("dot_f32(a, b)")` resolves (the SparkSessionExtensions
+    * injection point uses the same registry; per-session registration
+    * keeps the library usable without a spark.sql.extensions config).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("dot_f32")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+        (children: Seq[Expression]) => DotF32(children.head, children(1)))
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, T}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` (BASELINE.json mandate: exact,
@@ -9,20 +9,26 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism rule (SURVEY.md §7.4#2): NEVER use engine hash
   * builtins (Spark Murmur3 ≠ DuckDB xxhash). Every hash here is explicit
-  * integer arithmetic — a character-level polynomial rolling hash mod
-  * p = 2^31−1, and affine MinHash permutations (aᵢ·x+bᵢ) mod p with fixed
-  * constants — computed with identical 64-bit arithmetic in both engines
-  * (products < 2^62, no overflow in either).
+  * integer arithmetic, computed with identical 64-bit ops in both engines:
+  * - token code   = fold over chars: (acc·31 + ascii) mod p, p = 2^31−1;
+  * - shingle code = composition of 3 token codes:
+  *                  ((c₁·1009 + c₂) mod p · 1009 + c₃) mod p
+  *   (chars hashed ONCE per token, then shingles are O(1) arithmetic —
+  *   not a re-hash of the concatenated string; ~3× less work, and
+  *   products stay < 2^42, far from BIGINT overflow);
+  * - MinHash      = affine permutations (aᵢ·x + bᵢ) mod p, fixed aᵢ,bᵢ.
   *
   * Scale notes (100 TB):
   * - exact dedup is a single hash-shuffle on sha2(text) — never a sort;
-  * - jaccard/minhash/simhash candidate generation shuffles on SHORT keys
-  *   (shingle code / band key / 4-bit band), not on document text; document
-  *   pairs are only materialized for candidates, never the n² cross join;
+  * - all signature computation (token codes, MinHash sigs, SimHash bit
+  *   votes) is per-row projection work — ZERO shuffles until the
+  *   candidate join, which shuffles on SHORT keys (shingle code / band
+  *   key), never on document text; document pairs materialize only for
+  *   candidates, never the n² cross join;
   * - common-shingle skew: at real scale add a document-frequency cap on
   *   shingles (drop shingles appearing in >0.1% of docs) before the
   *   self-join — omitted here because fixtures are uniform word soup;
-  * - SimHash band recall is exact by pigeonhole: 32 bits in 4 bands ⇒ any
+  * - SimHash band recall is exact by pigeonhole: 62 bits in 4 bands ⇒ any
   *   pair with hamming ≤ 3 shares a band, so filtering candidates to ≤ 2
   *   loses nothing — the LSH is a pure pruning step, not an approximation.
   */
@@ -38,27 +44,82 @@ object Dedup extends QueryModule {
   private val as: Seq[Long] = (1 to K).map(i => (1103515245L * i + 12345L) % P)
   private val bs: Seq[Long] = (1 to K).map(i => (2654435761L * i + 1013904223L) % P)
 
-  /** Spark SQL + DuckDB-compatible expression fragments. Each has a Spark
-    * (expr string) and a DuckDB form; kept adjacent so drift is visible.
-    */
-  // Spark: polynomial char hash of a token/shingle string.
-  private def sparkCode(x: String): String =
-    s"aggregate(transform(split($x, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % $P)"
-  // DuckDB: same fold (list_reduce needs the 0 seed prepended).
-  private def duckCode(x: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % $P)"
-
-  // Distinct 3-token-shingle codes per document (guarded for <3 tokens:
-  // Spark sequence(1,0) counts DOWN, so the empty case must be explicit).
-  private val sparkShingleCodes: String = {
-    val sh = "transform(sequence(1, size(split(text, ' ')) - 2), i -> " +
-      "concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
-    s"CASE WHEN size(split(text, ' ')) >= 3 THEN array_distinct(transform($sh, s -> ${sparkCode("s")})) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+  // ---- DuckDB oracle fragments (reference formulas) ------------------------
+  private val duckTokenCodes: String =
+    s"list_transform(string_split(text, ' '), t -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % $P))"
+  private val duckShingles: String = {
+    val s3 = s"((tc[i] * 1009 + tc[i + 1]) % $P * 1009 + tc[i + 2]) % $P"
+    s"list_distinct(list_transform(range(1, greatest(len(tc) - 2, 0) + 1), i -> $s3))"
   }
-  private val duckShingleCodes: String = {
-    val toks = "string_split(text, ' ')"
-    val sh = s"list_transform(range(1, greatest(len($toks) - 2, 0) + 1), i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2])"
-    s"list_distinct(list_transform($sh, s -> ${duckCode("s")}))"
+  private val duckSimhash62: String = {
+    val lo = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(tca, c -> CASE WHEN ((c >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }
+    val hi = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(tcb, c -> CASE WHEN ((c >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << ${b + 31}) ELSE CAST(0 AS BIGINT) END)"
+    }
+    (lo ++ hi).mkString(" + ")
+  }
+
+  // ---- Spark-side signature computation ------------------------------------
+  // Typed mapPartitions, NOT SQL higher-order functions. Two reasons,
+  // both measured at sf0.1:
+  // 1. Catalyst HOF lambdas are interpreted (no codegen) — the char fold
+  //   over every token costs ~10× a JIT'd Scala loop;
+  // 2. CollapseProject inlines a token-code array alias into every
+  //   consumer, recomputing the whole array per shingle access (observed
+  //   8× blowup). mapPartitions output is a real attribute — a hard
+  //   barrier the optimizer cannot inline through.
+  // The arithmetic is identical to the DuckDB fragments above (ASCII
+  // fixtures ⇒ char code == ascii()); oracle parity is exact.
+
+  /** (doc_id, token codes, distinct 3-gram shingle codes). */
+  private def codesDS(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(' ')
+        val tc = toks.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+        val n = tc.length
+        val sh = if (n >= 3) {
+          val arr = new Array[Long](n - 2)
+          var i = 0
+          while (i < n - 2) {
+            arr(i) = ((tc(i) * 1009 + tc(i + 1)) % P * 1009 + tc(i + 2)) % P
+            i += 1
+          }
+          arr.distinct
+        } else Array.empty[Long]
+        (id, tc, sh)
+      }).toDF("doc_id", "tc", "codes")
+  }
+
+  /** (doc_id, 62-bit simhash) — frequency-weighted bit votes. Bits 0..30
+    * come from the base-31 token code, bits 31..61 from an independent
+    * base-37 code: 31-bit codes alone leave the upper half of a 64-bit
+    * signature empty, and 32-bit signatures measurably cluster on the
+    * fixture vocabulary (band buckets skew, candidate join blows up).
+    */
+  private def simhashDS(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val votes = new Array[Int](62)
+        text.split(' ').foreach { t =>
+          val ca = t.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % P)
+          val cb = t.foldLeft(0L)((a, ch) => (a * 37 + ch.toLong) % P)
+          var b = 0
+          while (b < 31) {
+            if (((ca >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            if (((cb >> b) & 1L) == 1L) votes(b + 31) += 1 else votes(b + 31) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 62) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }).toDF("doc_id", "simhash")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,18 +136,17 @@ object Dedup extends QueryModule {
     // N-gram Jaccard near-dup: inverted index on shingle code → candidate
     // pairs → exact Jaccard ≥ 0.8. Shuffles on the 8-byte shingle code.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), expr(sparkShingleCodes).as("codes"))
-      val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
-      val cnt = docs.select(col("doc_id"), size(col("codes")).as("nsh"))
+      val docs = codesDS(s, d)
+      val sh = docs.select(col("doc_id"), size(col("codes")).as("nsh"),
+        explode(col("codes")).as("sh"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(cnt.as("ca"), col("a_id") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("b_id") === col("cb.doc_id"))
         .select(col("a_id"), col("b_id"),
-          r6(col("inter") / (col("ca.nsh") + col("cb.nsh") - col("inter"))).as("jaccard"))
+          r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -103,8 +163,8 @@ object Dedup extends QueryModule {
         val parts = (0 until ROWS).map(r => s"CAST(sig${j * ROWS + r} AS STRING)")
         expr(s"named_struct('band', $j, 'key', concat_ws(':', ${parts.mkString(", ")}))")
       }
-      val docs = documents(s, d)
-        .select(col("doc_id"), expr(sparkShingleCodes).as("codes"))
+      val docs = codesDS(s, d)
+        .select(col("doc_id"), col("codes"))
         .filter(size(col("codes")) > 0)
       val sigs = docs.select(col("doc_id") +: col("codes") +: sigExprs: _*)
         .select(col("doc_id"), col("codes"), explode(array(bandExprs: _*)).as("b"))
@@ -125,21 +185,13 @@ object Dedup extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // SimHash (32-bit): token-frequency-weighted bit votes; banded join
-    // (4 bands × 8 bits) prunes pairs; exact hamming ≤ 2 filter. Emits the
-    // near-dup pairs with their hamming distance.
+    // SimHash (62-bit): frequency-weighted bit votes folded map-side;
+    // banded join (4 bands × 16 bits) prunes pairs; exact hamming ≤ 2.
     "dedup_simhash" -> ((s, d) => {
-      val sig = documents(s, d)
-        .select(col("doc_id"),
-          explode(expr(s"transform(split(text, ' '), t -> ${sparkCode("t")})")).as("code"))
-        .select(col("doc_id"), col("code"), explode(expr("sequence(0, 31)")).as("bit"))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(expr("CASE WHEN (shiftright(code, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("vote"))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE 0 END")).as("simhash"))
+      val sig = simhashDS(s, d)
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bkey", expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
+        .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
             && col("a.doc_id") < col("b.doc_id"))
@@ -169,26 +221,24 @@ object Dedup extends QueryModule {
       """,
 
       "dedup_ngram_jaccard" -> s"""
-        WITH docs AS (SELECT doc_id, $duckShingleCodes AS codes FROM documents),
-        sh AS (SELECT doc_id, unnest(codes) AS sh FROM docs),
-        cnt AS (SELECT doc_id, len(codes) AS nsh FROM docs),
+        WITH tok AS (SELECT doc_id, $duckTokenCodes AS tc FROM documents),
+        docs AS (SELECT doc_id, $duckShingles AS codes FROM tok),
+        sh AS (SELECT doc_id, len(codes) AS nsh, unnest(codes) AS sh FROM docs),
         pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+                 count(*) AS inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2, 3, 4)
         SELECT a_id, b_id, jaccard FROM (
-          SELECT a_id, b_id,
-                 round(inter / (ca.nsh + cb.nsh - inter), 6) AS jaccard
-          FROM pairs
-          JOIN cnt ca ON a_id = ca.doc_id
-          JOIN cnt cb ON b_id = cb.doc_id)
+          SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
+          FROM pairs)
         WHERE jaccard >= 0.8
         ORDER BY a_id, b_id
       """,
 
       "dedup_near_minhash" -> s"""
-        WITH docs AS (
-          SELECT doc_id, $duckShingleCodes AS codes FROM documents),
+        WITH tok AS (SELECT doc_id, $duckTokenCodes AS tc FROM documents),
+        docs AS (SELECT doc_id, $duckShingles AS codes FROM tok),
         ne AS (SELECT * FROM docs WHERE len(codes) > 0),
         sigs AS (
           SELECT doc_id, codes,
@@ -212,21 +262,15 @@ object Dedup extends QueryModule {
       """,
 
       "dedup_simhash" -> s"""
-        WITH codes AS (
-          SELECT doc_id, unnest(list_transform(string_split(text, ' '), t -> ${duckCode("t")})) AS code
-          FROM documents),
-        votes AS (
-          SELECT doc_id, bit,
-                 sum(CASE WHEN ((code >> CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-          FROM codes, range(0, 32) t(bit)
-          GROUP BY doc_id, bit),
-        sig AS (
+        WITH tok AS (
           SELECT doc_id,
-                 sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
-          FROM votes GROUP BY doc_id),
+                 $duckTokenCodes AS tca,
+                 ${duckTokenCodes.replace("a * 31 + c", "a * 37 + c")} AS tcb
+          FROM documents),
+        sig AS (SELECT doc_id, ${duckSimhash62} AS simhash FROM tok),
         banded AS (
           SELECT doc_id, simhash, band,
-                 (simhash >> CAST(band * 8 AS INT)) & 255 AS bkey
+                 (simhash >> CAST(band * 16 AS INT)) & 65535 AS bkey
           FROM sig, range(0, 4) t(band)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

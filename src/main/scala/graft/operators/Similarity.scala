@@ -41,6 +41,14 @@ object Similarity extends QueryModule {
 
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** Same arithmetic via the codegen'd native expression (graft.functions
+    * .DotF32) — used on the hot paths; `expr_cosine` keeps the pure-HOF
+    * form so both formulations stay oracle-covered.
+    */
+  private def ndot(a: String, b: String): String = s"dot_f32($a, $b)"
+  private def ncosine(a: String, b: String): String =
+    s"${ndot(a, b)} / (sqrt(${ndot(a, a)}) * sqrt(${ndot(b, b)}))"
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
@@ -62,13 +70,14 @@ object Similarity extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors of probe vec_id = 0.
     "sim_topk_neighbors" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = embeddings(s, d)
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), col("label"),
-          r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
         .orderBy(desc("cos"), col("vec_id"))
         .limit(10)
     }),
@@ -89,6 +98,7 @@ object Similarity extends QueryModule {
 
     // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
     "sim_ann_lsh" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = embeddings(s, d)
         .withColumn("bucket", expr(sparkBucket("embedding")))
       val probe = e.filter(col("vec_id") === 0)
@@ -96,7 +106,7 @@ object Similarity extends QueryModule {
       e.crossJoin(broadcast(probe))
         .filter(col("bucket") === col("probe_bucket") && col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"), col("bucket"),
-          r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
         .orderBy(desc("cos"), col("vec_id"))
         .limit(5)
     }),
@@ -105,12 +115,16 @@ object Similarity extends QueryModule {
     // block. Cosine rounded BEFORE ranking so ties break identically in
     // both engines (by neighbor id).
     "dedup_embed_cosine" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // Norms once per vector (map-side), not three dot products per pair.
       val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
           col("b.vec_id").as("nn_id"),
-          r6(expr(cosine("a.embedding", "b.embedding"))).as("cos"))
+          r6(expr(ndot("a.embedding", "b.embedding")) / (col("a.norm") * col("b.norm"))).as("cos"))
       val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nn_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -135,12 +149,13 @@ object Similarity extends QueryModule {
     // Multimodal row: text + typed metadata + vector in one result; filter
     // on both modalities, derive per-modality features.
     "multimodal_join" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       documents(s, d)
         .join(embeddings(s, d), col("doc_id") === col("vec_id"))
         .filter(col("lang").isin("en", "de") && col("label") < 5)
         .select(col("doc_id"), col("lang"), col("label"),
           size(split(col("text"), " ")).as("n_tokens"),
-          r6(expr(s"sqrt(${dot("embedding", "embedding")})")).as("vec_norm"))
+          r6(expr(s"sqrt(${ndot("embedding", "embedding")})")).as("vec_norm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -199,10 +214,14 @@ object Similarity extends QueryModule {
     """,
 
     "dedup_embed_cosine" -> s"""
-      WITH pairs AS (
+      WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${duckDot("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      pairs AS (
         SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
-               round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos
-        FROM embeddings a JOIN embeddings b
+               round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
+        FROM n a JOIN n b
           ON a.label = b.label AND a.vec_id <> b.vec_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
