@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's user-facing query surface, re-expressed as a library
+  * over DataFrames — a user of `harej/mediaplaycounts` maps each call
+  * 1:1 (ref cites [UNVERIFIED], reconstructed public behavior —
+  * SURVEY.md §0, §3):
+  *
+  * | reference                                   | here                 |
+  * |---------------------------------------------|----------------------|
+  * | `FilePlaycount.date_count(file, date)`      | `dateCount`          |
+  * | `FilePlaycount.date_range_count(f, s, e)`   | `dateRangeCount`     |
+  * | `FilePlaycount.last_30(file)`               | `last30`             |
+  * | `FilePlaycount.last_90(file)`               | `last90`             |
+  * | `CategoryPlaycount` (AskCommons + sum)      | `categoryCount`      |
+  * | `LogProcessor.parse` (TSV → counts rows)    | `Playcounts.fromMediacountsLog` |
+  *
+  * `counts` schema: (file STRING, date DATE, count BIGINT) — the
+  * reference's MySQL `counts` table, held as a (date-partitionable)
+  * DataFrame.
+  *
+  * Scale notes (100 TB): every method is a filter + aggregate over the
+  * counts table — partition pruning on `date` and predicate pushdown on
+  * `file` do the heavy lifting at rest; `categoryCount` broadcasts the
+  * (small) membership dimension, never shuffling the fact side. The
+  * `details` list is built with `collect_list` AFTER per-date
+  * aggregation — bounded by days-in-range, never by raw log rows.
+  */
+final class Playcounts(counts: DataFrame) {
+
+  /** Single (file, date) point lookup — MySQL PK lookup analog. */
+  def dateCount(file: String, date: java.sql.Date): DataFrame =
+    counts.filter(col("file") === file && col("date") === date)
+      .groupBy(col("file"), col("date"))
+      .agg(sum(col("count")).as("count"))
+
+  /** Range query: grand total + date-sorted per-day details — the
+    * `{filename, total, details:[{date,count}…]}` API response shape.
+    */
+  def dateRangeCount(file: String, start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val daily = counts
+      .filter(col("file") === file && col("date").between(start, end))
+      .groupBy(col("date")).agg(sum(col("count")).as("count"))
+    daily.agg(
+      sum(col("count")).as("total"),
+      sort_array(collect_list(struct(col("date"), col("count")))).as("details"))
+      .select(lit(file).as("file"), col("total"), col("details"))
+  }
+
+  /** Sliding "last N days" ending at `asOf` (the reference anchors at
+    * today; explicit anchor keeps the library deterministic).
+    */
+  def lastN(file: String, asOf: java.sql.Date, n: Int): DataFrame =
+    dateRangeCount(file, java.sql.Date.valueOf(asOf.toLocalDate.minusDays(n - 1L)), asOf)
+
+  def last30(file: String, asOf: java.sql.Date): DataFrame = lastN(file, asOf, 30)
+  def last90(file: String, asOf: java.sql.Date): DataFrame = lastN(file, asOf, 90)
+
+  /** Category roll-up: membership (category, file) ⨝ counts, summed per
+    * category — the reference's only join, done there as N API calls +
+    * a Python loop; here one broadcast join + aggregate.
+    */
+  def categoryCount(members: DataFrame, category: String,
+                    start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val files = members.filter(col("category") === category).select(col("file"))
+    counts
+      .join(broadcast(files), Seq("file"))
+      .filter(col("date").between(start, end))
+      .agg(coalesce(sum(col("count")), lit(0L)).as("total"),
+        countDistinct(col("file")).as("n_files"))
+      .select(lit(category).as("category"), col("total"), col("n_files"))
+  }
+}
+
+object Playcounts {
+
+  /** Playable-media extensions (reference whitelist [MED on exact set]). */
+  val playableExtensions: Seq[String] =
+    Seq("ogg", "oga", "ogv", "webm", "wav", "mp3", "mid", "flac")
+
+  /** `LogProcessor.parse` as one declarative pipeline over raw mediacounts
+    * TSV lines: split → whitelist filter (path prefix + extension) →
+    * `-`→0 counter parse → play count = original + transcoded audio +
+    * transcoded movie → percent-decode + dir-prefix strip → (file, date,
+    * count) rows.
+    *
+    * Column positions follow the public mediacounts format: col 0 = path,
+    * play-relevant transfer counters at positions 3 (original), 4
+    * (transcoded audio), 16 (transcoded movie) [MED — positional detail].
+    *
+    * @param lines one raw TSV line per row, column name `line`
+    * @param date  the dump's day (one file per day in the reference)
+    */
+  def fromMediacountsLog(lines: DataFrame, date: java.sql.Date): DataFrame = {
+    val f = split(col("line"), "\t")
+    def counter(i: Int): Column =
+      coalesce(expr(s"try_cast(split(line, '\t')[$i] AS BIGINT)"), lit(0L))
+    lines
+      .select(element_at(f, 1).as("path"),
+        (counter(3) + counter(4) + counter(16)).as("count"))
+      .filter(col("path").startsWith("/wikipedia/commons/")
+        && lower(regexp_extract(col("path"), "\\.([a-zA-Z0-9]+)$", 1))
+          .isin(playableExtensions: _*))
+      .select(
+        url_decode(substring_index(col("path"), "/", -1)).as("file"),
+        lit(date).as("date"),
+        col("count"))
+      .filter(col("count") > 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end reference-API parity: mediacounts-shaped TSV lines →
+  * `fromMediacountsLog` ingest → every `FilePlaycount`/`CategoryPlaycount`
+  * query shape, with hand-computed golden values.
+  */
+class ApiSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def mkLine(path: String, orig: Long, tAudio: String, tMovie: Long): String = {
+    // 17 cols: path, -, -, original, transcoded_audio, 11 fillers, transcoded_movie
+    val cols = Array.fill[String](17)("-")
+    cols(0) = path; cols(3) = orig.toString; cols(4) = tAudio; cols(16) = tMovie.toString
+    cols.mkString("\t")
+  }
+
+  private lazy val day1 = Date.valueOf("2024-03-01")
+  private lazy val day2 = Date.valueOf("2024-03-02")
+
+  private lazy val counts = {
+    import spark.implicits._
+    val lines1 = Seq(
+      mkLine("/wikipedia/commons/a/ab/Cat%20video.webm", 10, "5", 3),   // playable: 18
+      mkLine("/wikipedia/commons/b/bc/Song.ogg", 7, "-", 0),            // playable: 7
+      mkLine("/wikipedia/commons/c/cd/Photo.jpg", 99, "9", 9),          // filtered: not playable
+      mkLine("/wikipedia/en/x/xy/Other.webm", 50, "1", 1)               // filtered: not commons
+    ).toDF("line")
+    val lines2 = Seq(
+      mkLine("/wikipedia/commons/a/ab/Cat%20video.webm", 2, "1", 1)     // playable: 4
+    ).toDF("line")
+    api.Playcounts.fromMediacountsLog(lines1, day1)
+      .unionByName(api.Playcounts.fromMediacountsLog(lines2, day2))
+  }
+
+  test("ingest: whitelist, '-'→0, url-decode, prefix strip, play sum") {
+    val rows = counts.orderBy(col("date"), col("file"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("Cat video.webm", "2024-03-01", 18L),
+      ("Song.ogg", "2024-03-01", 7L),
+      ("Cat video.webm", "2024-03-02", 4L)))
+  }
+
+  test("dateCount point lookup") {
+    val pc = new api.Playcounts(counts)
+    val r = pc.dateCount("Song.ogg", day1).collect()
+    assert(r.length == 1 && r(0).getLong(2) == 7L)
+    assert(pc.dateCount("Song.ogg", day2).isEmpty)
+  }
+
+  test("dateRangeCount returns total plus date-sorted details") {
+    val pc = new api.Playcounts(counts)
+    val r = pc.dateRangeCount("Cat video.webm", day1, day2).collect()(0)
+    assert(r.getAs[Long]("total") == 22L)
+    val details = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(details.map(d => (d.getDate(0).toString, d.getLong(1))) ==
+      Seq(("2024-03-01", 18L), ("2024-03-02", 4L)))
+  }
+
+  test("last30 window anchored at asOf") {
+    val pc = new api.Playcounts(counts)
+    val r = pc.last30("Cat video.webm", Date.valueOf("2024-03-30")).collect()(0)
+    assert(r.getAs[Long]("total") == 22L) // both days inside [03-01, 03-30]
+    val r2 = pc.last30("Cat video.webm", Date.valueOf("2024-03-31")).collect()(0)
+    assert(r2.getAs[Long]("total") == 4L) // only day2 inside [03-02, 03-31]
+  }
+
+  test("categoryCount broadcast roll-up") {
+    import spark.implicits._
+    val members = Seq(
+      ("Cat videos", "Cat video.webm"),
+      ("Cat videos", "Song.ogg"),
+      ("Empty cat", "Nonexistent.ogv")).toDF("category", "file")
+    val pc = new api.Playcounts(counts)
+    val r = pc.categoryCount(members, "Cat videos", day1, day2).collect()(0)
+    assert(r.getAs[Long]("total") == 29L && r.getAs[Long]("n_files") == 2L)
+    val empty = pc.categoryCount(members, "Empty cat", day1, day2).collect()(0)
+    assert(empty.getAs[Long]("total") == 0L && empty.getAs[Long]("n_files") == 0L)
+  }
+}
