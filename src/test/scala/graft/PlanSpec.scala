@@ -50,4 +50,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("agg_daily_counts")
     assert(!p.contains("props"), "agg_daily_counts should not read the props column")
   }
+
+  test("no unintended cartesian products anywhere in the inventory") {
+    // The only acceptable nested-loop shape is a broadcast of a 1-row
+    // probe (sim_* / expr_cosine); a CartesianProduct node is always a
+    // scale bug.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val ok = name == "join_cross_small" // region×nation: intentional, 125 rows
+      withClue(name)(assert(ok || !p.contains("CartesianProduct"),
+        s"unexpected CartesianProduct in $name"))
+    }
+  }
+
+  test("dedup candidate joins shuffle on short keys, not document text") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "jaccard pair generation must be an equi-join on shingle code")
+    val p2 = plan("dedup_near_minhash")
+    assert(!p2.toLowerCase.contains("broadcastnestedloop"),
+      "minhash candidate generation must be an equi-join on band key")
+  }
 }
