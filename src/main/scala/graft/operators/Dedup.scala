@@ -169,19 +169,19 @@ object Dedup extends QueryModule {
       val sigs = docs.select(col("doc_id") +: col("codes") +: sigExprs: _*)
         .select(col("doc_id"), col("codes"), explode(array(bandExprs: _*)).as("b"))
         .select(col("doc_id"), col("codes"), col("b.band").as("band"), col("b.key").as("key"))
-      val cand = sigs.as("a").join(sigs.as("b"),
+      // Jaccard is computed on the JOIN OUTPUT (map-side, before any pair
+      // dedup) so the dedup shuffle carries (id, id, double) — never the
+      // shingle-code arrays; duplicate banded copies agree on the value.
+      sigs.as("a").join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.codes").as("ca"), col("b.codes").as("cb"))
-        .dropDuplicates("a_id", "b_id")
-      cand
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("ca"), col("cb"))).as("inter"),
-          size(col("ca")).as("na"), size(col("cb")).as("nb"))
+          size(array_intersect(col("a.codes"), col("b.codes"))).as("inter"),
+          size(col("a.codes")).as("na"), size(col("b.codes")).as("nb"))
         .select(col("a_id"), col("b_id"),
           r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
+        .dropDuplicates("a_id", "b_id")
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -197,8 +197,11 @@ object Dedup extends QueryModule {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .dropDuplicates("a_id", "b_id")
+        // Filter BEFORE the pair-dedup: hamming is identical for every
+        // banded copy of a pair, and candidates outnumber survivors ~1000×
+        // on clustered corpora — dedup only what passed.
         .filter(col("hamming") <= 2)
+        .dropDuplicates("a_id", "b_id")
         .orderBy(col("a_id"), col("b_id"))
     })
   )
