@@ -111,6 +111,39 @@ object Similarity extends QueryModule {
         .limit(5)
     }),
 
+    // IVF-style ANN: coarse cells = per-label mean embeddings (the
+    // vector-avg UDAF doubles as the quantizer "training"); the probe
+    // routes to its nearest centroid (cosine, r6-rounded, label
+    // tie-break), then exact top-5 WITHIN that cell only. At scale the
+    // cell id is the partition key: a probe touches one cell's shard,
+    // and nprobe>1 multi-cell search is the recall knob.
+    "sim_ivf_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val meanVec = udaf(VectorAvg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      s.udf.register("mean_vec", meanVec)
+      val e = embeddings(s, d)
+      val cents = e.groupBy(col("label").as("cell"))
+        .agg(expr("mean_vec(embedding)").as("c"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      // f32×f64 and f64×f64 dots stay HOF (mixed types); same fold order.
+      val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val bestCell = cents.crossJoin(broadcast(probe))
+        .select(col("cell"),
+          r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
+        .orderBy(desc("ccos"), col("cell"))
+        .limit(1)
+      e.join(broadcast(bestCell), col("label") === col("cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(5)
+    }),
+
     // Embedding near-dup: each vector's nearest neighbor within its label
     // block. Cosine rounded BEFORE ranking so ties break identically in
     // both engines (by neighbor id).
@@ -174,9 +207,16 @@ object Similarity extends QueryModule {
           // STUB decode: byte stats stand in for pixel/sample decoding.
           val byteSum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
           val headHex = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
-          (id, bytes.length, byteSum, headHex)
+          // "Frame sample": every 16th byte — the frame-subsampling shape
+          // (decode → pick frames) on an opaque byte payload.
+          val frames = bytes.indices.by(16).map(i => f"${bytes(i) & 0xff}%02x").mkString
+          // "Resize": fixed-width feature — pad-or-truncate to 8 bytes,
+          // the fixed-shape-tensor contract every batch consumer needs.
+          val feat8 = (bytes ++ Array.fill(8)(' '.toByte)).take(8)
+            .map(b => f"${b & 0xff}%02x").mkString
+          (id, bytes.length, byteSum, headHex, frames, feat8)
         })
-        .toDF("doc_id", "byte_len", "byte_sum", "head_hex")
+        .toDF("doc_id", "byte_len", "byte_sum", "head_hex", "frame_sample", "feat8")
         .orderBy(col("doc_id"))
     })
   )
@@ -210,6 +250,29 @@ object Similarity extends QueryModule {
              round(${duckCosine("embedding", "p")}, 6) AS cos
       FROM b, probe
       WHERE bucket = pb AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+
+    "sim_ivf_topk" -> s"""
+      WITH cent AS (
+        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
+          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i)
+        GROUP BY label),
+      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+      best AS (
+        SELECT cell FROM cent, probe
+        ORDER BY round(
+          list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
+          / (sqrt(${duckDot("p", "p")})
+             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
+          cell
+        LIMIT 1)
+      SELECT vec_id, label,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe, best
+      WHERE label = best.cell AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 5
     """,
 
@@ -257,7 +320,10 @@ object Similarity extends QueryModule {
              CAST(length(text) AS INT) AS byte_len,
              CAST(list_sum(list_transform(string_split(text, ''),
                   c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
-             lower(hex(substring(text, 1, 4))) AS head_hex
+             lower(hex(substring(text, 1, 4))) AS head_hex,
+             array_to_string(list_transform(range(1, length(text) + 1, 16),
+                  i -> lower(hex(substring(text, CAST(i AS INT), 1)))), '') AS frame_sample,
+             lower(hex(substring(text || '        ', 1, 8))) AS feat8
       FROM documents ORDER BY doc_id
     """
   )
