@@ -54,6 +54,20 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Standard injection point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * registers the library's native expressions in every session built from
+  * that config (the per-session `VectorFunctions.register` below is the
+  * programmatic equivalent used by the driver-contract queries).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (children: Seq[Expression]) => DotF32(children.head, children(1))))
+  }
+}
+
 object VectorFunctions {
   /** Idempotently register `dot_f32` in the session's function registry so
     * plain `expr("dot_f32(a, b)")` resolves (the SparkSessionExtensions

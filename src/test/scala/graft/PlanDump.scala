@@ -1,0 +1,22 @@
+package graft
+import java.nio.file.{Files, Paths}
+/** Dev tool: dump final physical plans for the plan audit (PLANS.md). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val s = SparkFixture.spark
+    val d = "/root/testdata/sf0.01"
+    val keys = Seq("agg_daily_counts", "scan_parquet_pushdown", "join_broadcast_dim",
+      "topk_global", "win_trailing_30d", "dedup_ngram_jaccard", "sim_topk_neighbors",
+      "join_asof_latest", "stream_session_5m", "sim_ivf_topk")
+    val sb = new StringBuilder
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(s, d)
+      df.count() // finalize AQE
+      sb.append(s"===== $k =====\n")
+      sb.append(df.queryExecution.executedPlan.toString)
+      sb.append("\n\n")
+    }
+    Files.writeString(Paths.get("/tmp/plans.txt"), sb.toString)
+    println("[plandump] written")
+  }
+}
