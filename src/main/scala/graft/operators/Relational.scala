@@ -146,6 +146,19 @@ object Relational extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Skew-mitigation pattern: salt the hot key, partially aggregate on
+    // (salt, key), then merge per key — the classic two-stage rewrite for
+    // a key whose group would overwhelm one reducer at 100 TB. Result is
+    // identical to the direct aggregation (the oracle computes it plain).
+    "agg_salted_skew" -> ((s, d) => {
+      events(s, d)
+        .groupBy(pmod(col("event_id"), lit(16)).as("salt"), col("event_type"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"), r4(sum(col("pv"))).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // HLL sketch distinct — the 100 TB path for distinct counts. No oracle
     // (sketch internals are engine-specific); rows-only check + ScalaTest
     // asserts it lands within 5% of exact.
@@ -329,6 +342,11 @@ object Relational extends QueryModule {
              count(DISTINCT user_id) AS n_users,
              count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
              round(sum(value), 4) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_salted_skew" -> """
+      SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
     """,
 

@@ -67,6 +67,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState maintains a running per-key counts table") {
+    // The reference's counts table as CUSTOM streaming state: per file,
+    // accumulate total plays across micro-batches (incremental cron).
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val totals = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (file: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          (file, total)
+      }
+    val q = totals.toDF("file", "total").writeStream.format("memory")
+      .queryName("gws_totals").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("a.webm", 3L), ("a.webm", 2L), ("b.ogg", 7L))
+      q.processAllAvailable()
+      mem.addData(("a.webm", 5L))
+      q.processAllAvailable()
+      val last = spark.table("gws_totals").groupBy("file")
+        .agg(max("total").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(last == Map("a.webm" -> 10L, "b.ogg" -> 7L), s"got $last")
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental upsert matches batch recompute") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
