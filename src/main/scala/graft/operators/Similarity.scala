@@ -111,6 +111,23 @@ object Similarity extends QueryModule {
         .limit(5)
     }),
 
+    // Multi-probe LSH: also search every bucket within hamming radius 1
+    // of the probe's bucket (flip each of the 8 plane bits) — the
+    // standard recall knob, 9/256 of the data instead of 1/256.
+    "sim_ann_multiprobe" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = embeddings(s, d)
+        .withColumn("bucket", expr(sparkBucket("embedding")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
+      e.crossJoin(broadcast(probe))
+        .filter(expr("bit_count(bucket ^ probe_bucket) <= 1") && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("bucket"),
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-style ANN: coarse cells = per-label mean embeddings (the
     // vector-avg UDAF doubles as the quantizer "training"); the probe
     // routes to its nearest centroid (cosine, r6-rounded, label
@@ -251,6 +268,18 @@ object Similarity extends QueryModule {
       FROM b, probe
       WHERE bucket = pb AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+
+    "sim_ann_multiprobe" -> s"""
+      WITH b AS (
+        SELECT vec_id, label, embedding, ${duckBucket("embedding")} AS bucket
+        FROM embeddings),
+      probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
+      SELECT vec_id, label, bucket,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM b, probe
+      WHERE bit_count(xor(bucket, pb)) <= 1 AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 10
     """,
 
     "sim_ivf_topk" -> s"""
