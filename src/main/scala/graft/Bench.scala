@@ -10,18 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Noop sink forces FULL execution of every operator: a count() action
+    // would let Catalyst prune projections and eliminate sorts, timing a
+    // bare scan for projection-only keys.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // Untimed warm-up: JVM/codegen/file-index warm-up otherwise lands on
     // whichever query happens to run first (~4 s of noise on one key).
-    try SparkEntry.queries("agg_daily_counts")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    try run("agg_daily_counts") catch { case _: Throwable => () }
+    val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query reports -1 (never a bogus near-zero timing).
+      try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,7 +44,7 @@ final class Playcounts(counts: DataFrame) {
       .filter(col("file") === file && col("date").between(start, end))
       .groupBy(col("date")).agg(sum(col("count")).as("count"))
     daily.agg(
-      sum(col("count")).as("total"),
+      coalesce(sum(col("count")), lit(0L)).as("total"),
       sort_array(collect_list(struct(col("date"), col("count")))).as("details"))
       .select(lit(file).as("file"), col("total"), col("details"))
   }
@@ -104,7 +104,14 @@ object Playcounts {
         && lower(regexp_extract(col("path"), "\\.([a-zA-Z0-9]+)$", 1))
           .isin(playableExtensions: _*))
       .select(
-        url_decode(substring_index(col("path"), "/", -1)).as("file"),
+        // Percent-decode ONLY (the reference uses urllib.parse.unquote):
+        // pre-escaping '+' keeps it literal (url_decode is form-encoding
+        // and would turn it into a space), and try_+coalesce keeps one
+        // malformed '%' from aborting a whole day's ingest — the Python
+        // reference leaves undecodable bytes untouched.
+        coalesce(
+          expr("try_url_decode(replace(substring_index(path, '/', -1), '+', '%2B'))"),
+          substring_index(col("path"), "/", -1)).as("file"),
         lit(date).as("date"),
         col("count"))
       .filter(col("count") > 0)

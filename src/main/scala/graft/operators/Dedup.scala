@@ -78,7 +78,7 @@ object Dedup extends QueryModule {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.split(' ')
+        val toks = text.split(" ", -1) // -1: keep trailing empties (Spark/DuckDB split semantics)
         val tc = toks.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
         val n = tc.length
         val sh = if (n >= 3) {
@@ -105,7 +105,7 @@ object Dedup extends QueryModule {
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val votes = new Array[Int](62)
-        text.split(' ').foreach { t =>
+        text.split(" ", -1).foreach { t =>
           val ca = t.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % P)
           val cb = t.foldLeft(0L)((a, ch) => (a * 37 + ch.toLong) % P)
           var b = 0

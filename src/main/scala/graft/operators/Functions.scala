@@ -192,8 +192,8 @@ object Functions extends QueryModule {
 
     "fn_json" -> """
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
       FROM events ORDER BY event_id
     """,
 

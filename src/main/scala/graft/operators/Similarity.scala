@@ -362,16 +362,27 @@ object Similarity extends QueryModule {
   * Aggregator surface exercises custom partial-merge state (SURVEY §2.10).
   */
 object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
-  def zero: (Array[Double], Long) = (new Array[Double](64), 0L)
+  // Buffer sized lazily from the first vector seen — works for any
+  // dimensionality, and a dimension mismatch mid-group fails loudly.
+  def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
   def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+    val sums = if (b._2 == 0) new Array[Double](a.length) else b._1
+    require(sums.length == a.length,
+      s"vector dimension mismatch: ${sums.length} vs ${a.length}")
     var i = 0
-    while (i < a.length) { b._1(i) += a(i); i += 1 }
-    (b._1, b._2 + 1)
+    while (i < a.length) { sums(i) += a(i); i += 1 }
+    (sums, b._2 + 1)
   }
   def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
-    var i = 0
-    while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
-    (x._1, x._2 + y._2)
+    if (x._2 == 0) y
+    else if (y._2 == 0) x
+    else {
+      require(x._1.length == y._1.length,
+        s"vector dimension mismatch: ${x._1.length} vs ${y._1.length}")
+      var i = 0
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
   }
   def finish(r: (Array[Double], Long)): Array[Double] =
     if (r._2 == 0) Array.empty else r._1.map(_ / r._2)

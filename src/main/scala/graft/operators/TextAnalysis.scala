@@ -128,15 +128,26 @@ object TextAnalysis extends QueryModule {
     }),
 
     // Document fingerprinting: full-text rolling hash, winnowing-style
-    // minimum shingle hash, and a 1024-way locality bucket.
+    // minimum shingle hash, and a 1024-way locality bucket. Typed
+    // mapPartitions for the same reason as the Dedup signatures (HOF char
+    // folds are interpreted — 9 s for this key at sf0.1 vs <1 s JIT'd);
+    // arithmetic matches the DuckDB oracle fragment exactly.
     "text_fingerprint" -> ((s, d) => {
-      val toks = "split(text, ' ')"
-      val sh3 = s"transform(sequence(1, size($toks) - 2), i -> concat_ws(' ', element_at($toks, i), element_at($toks, i + 1), element_at($toks, i + 2)))"
-      documents(s, d).select(
-        col("doc_id"),
-        expr(sparkCode("text")).as("fp_full"),
-        expr(s"CASE WHEN size($toks) >= 3 THEN array_min(transform($sh3, s -> ${sparkCode("s")})) ELSE ${sparkCode("text")} END").as("fp_min_shingle"),
-        expr(s"${sparkCode("text")} % 1024").as("fp_bucket"))
+      import s.implicits._
+      val p = P
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          def fold(str: String): Long =
+            str.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % p)
+          val fpFull = fold(text)
+          val toks = text.split(" ", -1)
+          val fpMin = if (toks.length >= 3)
+            (0 until toks.length - 2)
+              .map(i => fold(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")).min
+          else fpFull
+          (id, fpFull, fpMin, fpFull % 1024)
+        })
+        .toDF("doc_id", "fp_full", "fp_min_shingle", "fp_bucket")
         .orderBy(col("doc_id"))
     })
   )

@@ -31,13 +31,15 @@ object Sinks {
     * table, no delete-then-append race).
     */
   def upsertPartitions(spark: SparkSession, delta: DataFrame, path: String,
-                       partitionCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                       partitionCol: String): Unit =
+    // Per-write option, NOT a session conf — a session-level
+    // partitionOverwriteMode=dynamic would silently change the semantics
+    // of every later Overwrite write (e.g. writePartitioned's full replace).
     delta.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
-  }
 
   /** The reference's daily ingest → counts-table load, end to end:
     * events for one day → per-(entity, day) counts → upsert that day's
