@@ -45,6 +45,18 @@ class ApiSpec extends AnyFunSuite {
       ("Cat video.webm", "2024-03-02", 4L)))
   }
 
+  test("ingest decode parity: literal '+' survives, malformed '%' tolerated") {
+    import spark.implicits._
+    val lines = Seq(
+      mkLine("/wikipedia/commons/a/ab/A+B.ogg", 1, "0", 0),       // '+' is literal (unquote parity)
+      mkLine("/wikipedia/commons/a/ab/Bad%GG.ogg", 2, "0", 0),    // malformed escape: keep raw
+      mkLine("/wikipedia/commons/a/ab/Ok%C3%A9.ogg", 3, "0", 0)   // valid UTF-8 escape decodes
+    ).toDF("line")
+    val rows = api.Playcounts.fromMediacountsLog(lines, day1)
+      .orderBy(col("file")).collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("A+B.ogg", "Bad%GG.ogg", "Oké.ogg"), s"got $rows")
+  }
+
   test("dateCount point lookup") {
     val pc = new api.Playcounts(counts)
     val r = pc.dateCount("Song.ogg", day1).collect()
