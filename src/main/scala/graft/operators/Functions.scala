@@ -78,7 +78,9 @@ object Functions extends QueryModule {
         array_contains(tokens, "scan").as("has_scan"),
         concat_ws(",", slice(sort_array(array_distinct(tokens)), 1, 5)).as("first5"),
         expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)")
-          .as("sum_token_len"))
+          .as("sum_token_len"),
+        size(flatten(array(tokens, slice(tokens, 1, 3)))).as("flat_size"),
+        expr("size(arrays_zip(split(text, ' '), split(text, ' ')))").as("zip_size"))
         .orderBy(col("doc_id"))
     }),
 
@@ -178,7 +180,11 @@ object Functions extends QueryModule {
              array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
                AS first5,
              CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT)
-               AS sum_token_len
+               AS sum_token_len,
+             CAST(len(flatten([string_split(text, ' '), string_split(text, ' ')[1:3]])) AS INT)
+               AS flat_size,
+             CAST(len(list_zip(string_split(text, ' '), string_split(text, ' '))) AS INT)
+               AS zip_size
       FROM documents ORDER BY doc_id
     """,
 
