@@ -53,4 +53,43 @@ object Sinks {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
     upsertPartitions(spark, delta, path, "day")
   }
+
+  /** RDBMS parity sink — the reference's literal MySQL upsert
+    * (`LogProcessor.py` insert loop [UNVERIFIED]) as delete-day-then-
+    * append over JDBC. Embedded Derby ships on the Spark classpath, so
+    * this works with zero extra dependencies; any JDBC URL works.
+    *
+    * Scale note: the DELETE is one driver-side statement per re-ingested
+    * day (day keys are collected — a bounded partition-key set, never
+    * data rows); the INSERT is executor-side `df.write.jdbc` batches.
+    * At 100 TB the parquet `upsertPartitions` path is the table of
+    * record and JDBC serves the API-facing aggregate store, mirroring
+    * the reference's MySQL role.
+    */
+  def upsertJdbcCounts(delta: DataFrame, url: String, table: String,
+                       dayCol: String = "day",
+                       createColumnTypes: Option[String] = None): Unit = {
+    val days = delta.select(col(dayCol)).distinct().collect()
+      .map(r => r.get(0).toString)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = meta.next()
+      if (exists && days.nonEmpty) {
+        val in = days.map(d => s"'$d'").mkString(", ")
+        val st = conn.createStatement()
+        // Spark's JDBC writer creates case-sensitive quoted columns, and
+        // maps StringType to CLOB on some dialects (Derby) — CAST makes
+        // the day filter comparable either way.
+        try st.executeUpdate(
+          s"""DELETE FROM $table WHERE CAST("$dayCol" AS VARCHAR(32)) IN ($in)""")
+        finally st.close()
+      }
+    } finally conn.close()
+    val w = delta.write.mode("append")
+    // e.g. "day VARCHAR(10), event_type VARCHAR(64)" — keeps key columns
+    // index/compare-friendly instead of the dialect's CLOB default.
+    createColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, new java.util.Properties())
+  }
 }

@@ -27,6 +27,26 @@ class SinkSpec extends AnyFunSuite {
     assert(scanned.contains("PartitionFilters"), s"no partition filters:\n$scanned")
   }
 
+  test("JDBC counts upsert is idempotent (embedded Derby, zero extra deps)") {
+    val db = Files.createTempDirectory("graft_derby").toString + "/countsdb"
+    val url = s"jdbc:derby:$db;create=true"
+    def delta(d: String) = events(spark, sf)
+      .filter(day(col("ts")) === java.sql.Date.valueOf(d))
+      .groupBy(day(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val colTypes = Some("day VARCHAR(10), event_type VARCHAR(64)")
+    sinks.Sinks.upsertJdbcCounts(delta("2024-01-03"), url, "counts", "day", colTypes)
+    sinks.Sinks.upsertJdbcCounts(delta("2024-01-04"), url, "counts", "day", colTypes)
+    val before = spark.read.jdbc(url, "counts", new java.util.Properties())
+      .orderBy(col("day"), col("event_type")).collect().toSeq
+    // Re-running a day must replace, not duplicate, its rows.
+    sinks.Sinks.upsertJdbcCounts(delta("2024-01-03"), url, "counts", "day", colTypes)
+    val after = spark.read.jdbc(url, "counts", new java.util.Properties())
+      .orderBy(col("day"), col("event_type")).collect().toSeq
+    assert(before == after)
+    assert(after.map(_.getString(0)).distinct.sorted == Seq("2024-01-03", "2024-01-04"))
+  }
+
   test("upsert replaces only the delta's partitions (idempotent re-run)") {
     val out = Files.createTempDirectory("graft_upsert").toString
     val e = events(spark, sf)
