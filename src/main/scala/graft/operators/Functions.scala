@@ -49,7 +49,9 @@ object Functions extends QueryModule {
         date_trunc("MONTH", col("o_orderdate")).cast("date").as("month_start"),
         last_day(od).as("month_end"),
         (dayofweek(od) - 1).as("dow"),
-        ((year(od) - 1995) * 12 + month(od) - 1).as("months_since"))
+        ((year(od) - 1995) * 12 + month(od) - 1).as("months_since"),
+        // the reference API's compact YYYYMMDD string dates, both ways
+        to_date(date_format(od, "yyyyMMdd"), "yyyyMMdd").as("compact_roundtrip"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -154,7 +156,9 @@ object Functions extends QueryModule {
              last_day(CAST(o_orderdate AS DATE)) AS month_end,
              CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
              CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INT)
-               AS months_since
+               AS months_since,
+             CAST(strptime(strftime(CAST(o_orderdate AS DATE), '%Y%m%d'), '%Y%m%d') AS DATE)
+               AS compact_roundtrip
       FROM orders ORDER BY o_orderkey
     """,
 

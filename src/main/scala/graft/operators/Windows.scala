@@ -80,7 +80,13 @@ object Windows extends QueryModule {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"),
-          r6(percent_rank().over(w)).as("pct_rank"))
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          nth_value(col("c_custkey"), 2).over(
+            Window.partitionBy(col("c_mktsegment"))
+              .orderBy(desc("c_acctbal"), col("c_custkey"))
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("second_key"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     }),
 
@@ -151,7 +157,12 @@ object Windows extends QueryModule {
              CAST(rank() OVER w AS INT) AS rnk,
              CAST(dense_rank() OVER w AS INT) AS drnk,
              CAST(ntile(4) OVER w AS INT) AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_key
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_mktsegment, rnk, c_custkey
