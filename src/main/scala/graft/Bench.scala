@@ -31,10 +31,16 @@ object Bench {
       try { name -> math.min(once(), once()) }
       catch { case _: Throwable => name -> -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line COMPACT: the driver captures only a bounded tail of
+    // stdout, and round 1's full-precision doubles pushed the line past
+    // that buffer — BENCH_r01.json came back "parsed": null. 3-decimal
+    // timings + basename sf keep 68 keys well under the buffer.
+    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -168,8 +168,8 @@ object Functions extends QueryModule {
              round(abs(l_discount - 0.05), 6) AS disc_dev,
              round(sqrt(l_quantity), 6) AS qty_sqrt,
              round(ln(l_extendedprice), 6) AS price_ln,
-             floor(l_extendedprice) AS price_floor,
-             ceil(l_extendedprice) AS price_ceil,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
              l_orderkey % 7 AS key_mod7,
              round(greatest(l_tax, l_discount), 6) AS max_rate,
              round(least(l_tax, l_discount), 6) AS min_rate

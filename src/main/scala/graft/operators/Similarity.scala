@@ -188,12 +188,17 @@ object Similarity extends QueryModule {
       val meanVec = udaf(VectorAvg,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
       s.udf.register("mean_vec", meanVec)
+      // Output is exploded to (label, n_vecs, dim, mean_val) scalar rows:
+      // the driver's compare sorts rows with pandas, which cannot order an
+      // array-valued column (r1 udaf_vector_avg failed exactly there).
       embeddings(s, d)
         .groupBy(col("label"))
         .agg(expr("mean_vec(embedding)").as("mv"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), posexplode(col("mv")))
         .select(col("label"), col("n_vecs"),
-          expr("transform(mv, x -> round(x, 6))").as("mean_vec"))
-        .orderBy(col("label"))
+          (col("pos") + 1).as("dim"),
+          r6(col("col").cast("double")).as("mean_val"))
+        .orderBy(col("label"), col("dim"))
     }),
 
     // Multimodal row: text + typed metadata + vector in one result; filter
@@ -330,9 +335,9 @@ object Similarity extends QueryModule {
         GROUP BY label, i)
       SELECT label,
              (SELECT count(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vecs,
-             list(round(m, 6) ORDER BY i) AS mean_vec
-      FROM per_dim GROUP BY label
-      ORDER BY label
+             CAST(i AS INT) AS dim, round(m, 6) AS mean_val
+      FROM per_dim
+      ORDER BY label, dim
     """,
 
     "multimodal_join" -> s"""

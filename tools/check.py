@@ -26,6 +26,16 @@ def norm(v):
         return ("DECIMAL", str(v))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    # Type-SENSITIVE: the driver's pandas hash distinguishes int64 vs
+    # float64 columns, so 123 (Spark BIGINT floor) != 123.0 (DuckDB DOUBLE
+    # floor) there even though Python says they're equal — that was the r1
+    # fn_math miss. bool is an int subclass; keep its own tag.
+    if isinstance(v, bool):
+        return ("BOOL", v)
+    if isinstance(v, int):
+        return ("INT", v)
+    if isinstance(v, float):
+        return ("FLOAT", v)
     return v
 
 def main():
@@ -54,6 +64,12 @@ def main():
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         if scols != ocols:
             print(f"FAIL {name}: column mismatch spark={scols} oracle={ocols}"); n_fail += 1; continue
+        # The driver sorts rows with pandas before hashing; an array-valued
+        # column makes that sort raise (unhashable ndarray — r1
+        # udaf_vector_avg). Oracle-checked outputs must be scalar-only.
+        bad = [c for c, r0 in zip(scols, zip(*srows)) if srows and any(isinstance(x, list) for x in r0)] if srows else []
+        if bad:
+            print(f"FAIL {name}: array-valued column(s) {bad} break the driver's pandas row sort"); n_fail += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: row count spark={len(srows)} oracle={len(orows)}"); n_fail += 1; continue
         srows_n = [tuple(norm(v) for v in r) for r in srows]
