@@ -130,7 +130,6 @@ object Dedup extends QueryModule {
         .groupBy(sha2(col("text"), 256).as("text_sha"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
-        .orderBy(col("canonical_id"))
     }),
 
     // N-gram Jaccard near-dup: inverted index on shingle code → candidate
@@ -148,7 +147,6 @@ object Dedup extends QueryModule {
         .select(col("a_id"), col("b_id"),
           r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // MinHash + banded LSH: 16 affine permutations, 4 bands × 4 rows.
@@ -182,7 +180,6 @@ object Dedup extends QueryModule {
           r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
         .dropDuplicates("a_id", "b_id")
-        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // SimHash (62-bit): frequency-weighted bit votes folded map-side;
@@ -202,7 +199,6 @@ object Dedup extends QueryModule {
         // on clustered corpora — dedup only what passed.
         .filter(col("hamming") <= 2)
         .dropDuplicates("a_id", "b_id")
-        .orderBy(col("a_id"), col("b_id"))
     })
   )
 

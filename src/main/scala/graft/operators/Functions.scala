@@ -33,7 +33,6 @@ object Functions extends QueryModule {
           translate(col("p_type"), " ", "_")).as("tag"),
         levenshtein(col("p_brand"), col("p_type")).as("lev"),
         length(trim(col("p_name"))).as("name_len"))
-        .orderBy(col("p_partkey"))
     }),
 
     // Day-granular date arithmetic (the reference's timedelta(days=30)
@@ -52,7 +51,6 @@ object Functions extends QueryModule {
         ((year(od) - 1995) * 12 + month(od) - 1).as("months_since"),
         // the reference API's compact YYYYMMDD string dates, both ways
         to_date(date_format(od, "yyyyMMdd"), "yyyyMMdd").as("compact_roundtrip"))
-        .orderBy(col("o_orderkey"))
     }),
 
     "fn_math" -> ((s, d) => {
@@ -67,7 +65,6 @@ object Functions extends QueryModule {
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
         r6(greatest(col("l_tax"), col("l_discount"))).as("max_rate"),
         r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // Array ops + higher-order functions over tokenized text.
@@ -83,7 +80,6 @@ object Functions extends QueryModule {
           .as("sum_token_len"),
         size(flatten(array(tokens, slice(tokens, 1, 3)))).as("flat_size"),
         expr("size(arrays_zip(split(text, ' '), split(text, ' ')))").as("zip_size"))
-        .orderBy(col("doc_id"))
     }),
 
     // Map construction + lookup + key enumeration; compared via scalar
@@ -99,7 +95,6 @@ object Functions extends QueryModule {
         element_at(m, "n_tokens").as("tokens_v"),
         size(m).as("m_size"),
         concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"))
-        .orderBy(col("doc_id"))
     }),
 
     // JSON extraction from the events.props payload column.
@@ -109,7 +104,6 @@ object Functions extends QueryModule {
         get_json_object(col("props"), "$.k").cast("int").as("k_path"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_schema"))
-        .orderBy(col("event_id"))
     }),
 
     // CASE/coalesce/nullif/nvl2 — the `-` → 0 placeholder rule generalized.
@@ -121,7 +115,6 @@ object Functions extends QueryModule {
           .otherwise("low").as("band"),
         coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("masked"),
         expr("nvl2(nullif(event_type, 'error'), 'ok', 'err')").as("flag"))
-        .orderBy(col("event_id"))
     }),
 
     // Generator / UDTF surface: posexplode of token arrays (bounded to the
@@ -131,7 +124,6 @@ object Functions extends QueryModule {
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("col", "token")
-        .orderBy(col("doc_id"), col("pos"))
     })
   )
 

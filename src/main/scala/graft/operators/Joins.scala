@@ -34,7 +34,6 @@ object Joins extends QueryModule {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), r4(sum(col("c_acctbal"))).as("sum_bal"))
-        .orderBy(col("r_name"), col("n_name"))
     }),
 
     // Large-large sort-merge join on the shuffle key.
@@ -44,7 +43,6 @@ object Joins extends QueryModule {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-        .orderBy(col("o_orderpriority"))
     }),
 
     // Same join, shuffled-hash strategy (no sort; build side hashed).
@@ -53,7 +51,6 @@ object Joins extends QueryModule {
         .join(orders(s, d).hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"), r4(sum(col("l_quantity"))).as("sum_qty"))
-        .orderBy(col("o_orderstatus"))
     }),
 
     // Customers with zero orders kept (left outer + count of non-nulls).
@@ -62,7 +59,6 @@ object Joins extends QueryModule {
         .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))
-        .orderBy(col("c_custkey"))
     }),
 
     // Full outer: event actors vs customer dimension — unmatched on both
@@ -73,7 +69,6 @@ object Joins extends QueryModule {
       a.join(b, a("user_id") === b("c_custkey"), "full")
         .select(coalesce(a("user_id"), b("c_custkey")).as("k"),
           col("n_events"), col("c_mktsegment"))
-        .orderBy(col("k"))
     }),
 
     // Membership test: customers having at least one urgent order (EXISTS).
@@ -82,7 +77,6 @@ object Joins extends QueryModule {
         .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
     }),
 
     // Zero-fill gap detection: generated hour spine anti-joined against
@@ -94,7 +88,7 @@ object Joins extends QueryModule {
         expr("INTERVAL 1 HOUR"))).as("hour"))
       val seen = events(s, d).filter(col("event_type") === "error")
         .select(date_trunc("HOUR", col("ts")).as("hour")).distinct()
-      spine.join(seen, Seq("hour"), "left_anti").orderBy(col("hour"))
+      spine.join(seen, Seq("hour"), "left_anti")
     }),
 
     // Band/theta join, bucketed: (purchase, error) pairs by the same user
@@ -113,7 +107,6 @@ object Joins extends QueryModule {
       p.join(err, col("user_id") === col("e_user") && col("bucket") === col("e_bucket"))
         .filter(abs(col("p_us") - col("e_us")) <= bandUs)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
-        .orderBy(col("user_id"))
     }),
 
     // As-of join: each purchase → latest prior-or-equal click of the same
@@ -134,13 +127,11 @@ object Joins extends QueryModule {
         .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
         .filter(col("tag") === 1)
         .select(col("event_id"), col("user_id"), col("asof_click_ts"))
-        .orderBy(col("event_id"))
     }),
 
     "join_cross_small" -> ((s, d) => {
       region(s, d).select(col("r_name"))
         .crossJoin(nation(s, d).select(col("n_name")))
-        .orderBy(col("r_name"), col("n_name"))
     })
   )
 

@@ -30,7 +30,6 @@ object Relational extends QueryModule {
         .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
           && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // The mediacounts TSV ingest pipeline as a self-contained roundtrip:
@@ -54,7 +53,6 @@ object Relational extends QueryModule {
           coalesce(expr("try_cast(split(line, '\t')[3] AS DOUBLE)"), lit(0.0)).as("cnt"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum(col("cnt"))).as("total"))
-        .orderBy(col("day"), col("event_type"))
     }),
 
     // ---- filters / projections ------------------------------------------
@@ -66,7 +64,6 @@ object Relational extends QueryModule {
           && col("source").isin("src0", "src1", "src2", "src3", "src4")
           && col("n_chars") >= 40)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy(col("doc_id"))
     }),
 
     // Play-count arithmetic analog: row-wise derived counter column
@@ -78,7 +75,6 @@ object Relational extends QueryModule {
           r6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           r6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
             .as("charged"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // Percent-decode + path-prefix strip (LogProcessor title cleanup):
@@ -89,7 +85,6 @@ object Relational extends QueryModule {
           url_decode(url_encode(col("p_name"))).as("decoded"),
           substring_index(
             concat(lit("/wikipedia/commons/a/ab/"), col("p_name")), "/", -1).as("stripped"))
-        .orderBy(col("p_partkey"))
     }),
 
     // Point/range lookup: WHERE user=? AND ts BETWEEN ? AND ? — the
@@ -102,7 +97,6 @@ object Relational extends QueryModule {
             lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
             lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
     }),
 
     // ---- aggregations ----------------------------------------------------
@@ -112,7 +106,6 @@ object Relational extends QueryModule {
       events(s, d)
         .groupBy(day(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total_value"))
-        .orderBy(col("day"), col("event_type"))
     }),
 
     // Date-range total + per-day detail in one result (rollup over day):
@@ -124,7 +117,6 @@ object Relational extends QueryModule {
           && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
         .rollup(day(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
-        .orderBy(asc_nulls_first("day"))
     }),
 
     // Exact distinct per day (expand + two-phase agg under the hood).
@@ -132,7 +124,6 @@ object Relational extends QueryModule {
       events(s, d)
         .groupBy(day(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("day"))
     }),
 
     // Multiple distinct aggregates + a plain sum in one pass.
@@ -143,7 +134,6 @@ object Relational extends QueryModule {
           countDistinct(col("user_id")).as("n_users"),
           countDistinct(day(col("ts"))).as("n_days"),
           r4(sum(col("value"))).as("total_value"))
-        .orderBy(col("event_type"))
     }),
 
     // Skew-mitigation pattern: salt the hot key, partially aggregate on
@@ -156,7 +146,6 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
         .groupBy(col("event_type"))
         .agg(sum(col("pn")).as("n_events"), r4(sum(col("pv"))).as("total_value"))
-        .orderBy(col("event_type"))
     }),
 
     // HLL sketch distinct — the 100 TB path for distinct counts. No oracle
@@ -166,7 +155,6 @@ object Relational extends QueryModule {
       events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy(col("event_type"))
     }),
 
     "agg_rollup" -> ((s, d) => {
@@ -174,14 +162,12 @@ object Relational extends QueryModule {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"),
           r2(sum(col("l_extendedprice"))).as("sum_price"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
     "agg_cube" -> ((s, d) => {
       orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
-        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
     "agg_grouping_sets" -> ((s, d) => {
@@ -190,7 +176,6 @@ object Relational extends QueryModule {
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus, o_orderpriority
       """)
     }),
 
@@ -230,7 +215,6 @@ object Relational extends QueryModule {
         lit(java.sql.Date.valueOf("2024-01-05")), lit(java.sql.Date.valueOf("2024-01-15"))))
       a.unionByName(b)
         .groupBy(col("day")).agg(count(lit(1)).as("n"))
-        .orderBy(col("day"))
     }),
 
     "setop_union_distinct" -> ((s, d) => {
@@ -239,7 +223,7 @@ object Relational extends QueryModule {
         .select(col("user_id"), col("event_type"))
       val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
         .select(col("user_id"), col("event_type"))
-      a.union(b).distinct().orderBy(col("user_id"), col("event_type"))
+      a.union(b).distinct()
     }),
 
     "setop_intersect" -> ((s, d) => {
@@ -248,7 +232,7 @@ object Relational extends QueryModule {
         .select(col("user_id"))
       val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
         .select(col("user_id"))
-      a.intersect(b).orderBy(col("user_id"))
+      a.intersect(b)
     }),
 
     "setop_except" -> ((s, d) => {
@@ -257,7 +241,7 @@ object Relational extends QueryModule {
         .select(col("user_id"), col("event_type"))
       val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
         .select(col("user_id"), col("event_type"))
-      a.except(b).orderBy(col("user_id"), col("event_type"))
+      a.except(b)
     })
   )
 

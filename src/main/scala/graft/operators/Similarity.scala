@@ -93,7 +93,6 @@ object Similarity extends QueryModule {
         .select(col("vec_id"),
           r6(expr(dot("embedding", "probe_emb"))).as("dot"),
           r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
-        .orderBy(col("vec_id"))
     }),
 
     // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
@@ -179,7 +178,6 @@ object Similarity extends QueryModule {
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("label"), col("nn_id"), col("cos"))
-        .orderBy(col("vec_id"))
     }),
 
     // Typed UDAF: per-label mean embedding via a custom Aggregator with
@@ -198,7 +196,6 @@ object Similarity extends QueryModule {
         .select(col("label"), col("n_vecs"),
           (col("pos") + 1).as("dim"),
           r6(col("col").cast("double")).as("mean_val"))
-        .orderBy(col("label"), col("dim"))
     }),
 
     // Multimodal row: text + typed metadata + vector in one result; filter
@@ -211,7 +208,6 @@ object Similarity extends QueryModule {
         .select(col("doc_id"), col("lang"), col("label"),
           size(split(col("text"), " ")).as("n_tokens"),
           r6(expr(s"sqrt(${ndot("embedding", "embedding")})")).as("vec_norm"))
-        .orderBy(col("doc_id"))
     }),
 
     // Multimodal binary column pipeline: text → opaque bytes → per-
@@ -239,7 +235,6 @@ object Similarity extends QueryModule {
           (id, bytes.length, byteSum, headHex, frames, feat8)
         })
         .toDF("doc_id", "byte_len", "byte_sum", "head_hex", "frame_sample", "feat8")
-        .orderBy(col("doc_id"))
     })
   )
 

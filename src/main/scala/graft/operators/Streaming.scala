@@ -33,7 +33,6 @@ object Streaming extends QueryModule {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
         .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
-        .orderBy(col("wstart"), col("event_type"))
     }),
 
     // 1-hour windows sliding every 30 minutes: each event lands in exactly
@@ -43,7 +42,6 @@ object Streaming extends QueryModule {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .select(col("w.start").as("wstart"), col("n"), col("n_users"))
-        .orderBy(col("wstart"))
     }),
 
     // Per-user session windows, 5-minute gap. Session end = last event +
@@ -55,7 +53,6 @@ object Streaming extends QueryModule {
         .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"), col("total"))
-        .orderBy(col("user_id"), col("session_start"))
     })
   )
 

@@ -76,7 +76,6 @@ object TextAnalysis extends QueryModule {
         .agg(sum(col("n")).as("n_docs"),
           r4(sum(col("chars")) / sum(col("n"))).as("avg_chars"),
           max(when(col("rn") === 1, col("source"))).as("top_source"))
-        .orderBy(col("lang"))
     }),
 
     // Language ID: marker-token voting with a deterministic CASE-order
@@ -93,7 +92,6 @@ object TextAnalysis extends QueryModule {
       val score = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
       scored.select(col("doc_id"), col("actual_lang"),
           expr(pred).as("pred_lang"), expr(score).as("pred_score"))
-        .orderBy(col("doc_id"))
     }),
 
     // Quality scoring: length, stopword ratio, type-token ratio, mean
@@ -113,7 +111,6 @@ object TextAnalysis extends QueryModule {
         r6(avgLen).as("avg_token_len"),
         r6(ttr * 0.4 + lenScore * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
           + stopRatio * 0.1).as("quality"))
-        .orderBy(col("doc_id"))
     }),
 
     // Token counting three ways: whitespace split, BPE-ish regex pieces
@@ -124,7 +121,6 @@ object TextAnalysis extends QueryModule {
         size(split(col("text"), " ")).as("ws_tokens"),
         expr("CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS INT)").as("bpe_tokens"),
         expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
-        .orderBy(col("doc_id"))
     }),
 
     // Document fingerprinting: full-text rolling hash, winnowing-style
@@ -148,7 +144,6 @@ object TextAnalysis extends QueryModule {
           (id, fpFull, fpMin, fpFull % 1024)
         })
         .toDF("doc_id", "fp_full", "fp_min_shingle", "fp_bucket")
-        .orderBy(col("doc_id"))
     })
   )
 

@@ -44,7 +44,6 @@ object Windows extends QueryModule {
       daily(s, d)
         .select(col("event_type"), col("day"), col("n"),
           r4(sum(col("daily_total")).over(w)).as("trailing_30d"))
-        .orderBy(col("event_type"), col("day"))
     }),
 
     // Cumulative plays per entity over time.
@@ -55,7 +54,6 @@ object Windows extends QueryModule {
         .select(col("event_type"), col("day"),
           sum(col("n")).over(w).as("cum_events"),
           r4(sum(col("daily_total")).over(w)).as("cum_value"))
-        .orderBy(col("event_type"), col("day"))
     }),
 
     // Top-3 parts by retail price per brand; price ties broken by partkey
@@ -67,7 +65,6 @@ object Windows extends QueryModule {
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
-        .orderBy(col("p_brand"), col("rn"))
     }),
 
     // rank / dense_rank / ntile(4) / percent_rank in one pass. Order key
@@ -87,7 +84,6 @@ object Windows extends QueryModule {
               .orderBy(desc("c_acctbal"), col("c_custkey"))
               .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             .as("second_key"))
-        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     }),
 
     // Day-over-day delta per entity (lag/lead).
@@ -98,7 +94,6 @@ object Windows extends QueryModule {
           lag(col("n"), 1).over(w).as("prev_n"),
           lead(col("n"), 1).over(w).as("next_n"),
           (col("n") - lag(col("n"), 1).over(w)).as("delta"))
-        .orderBy(col("event_type"), col("day"))
     }),
 
     // first_value/last_value with an explicit full-partition frame (the
@@ -111,7 +106,6 @@ object Windows extends QueryModule {
         .select(col("o_orderstatus"), col("o_orderkey"),
           first(col("o_orderkey")).over(w).as("first_key"),
           last(col("o_orderkey")).over(w).as("last_key"))
-        .orderBy(col("o_orderstatus"), col("o_orderkey"))
     })
   )
 
