@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.Functions,
     operators.Dedup,
+    operators.Sampling,
     operators.TextAnalysis,
     operators.Similarity,
     operators.Streaming

@@ -122,6 +122,22 @@ object Dedup extends QueryModule {
       }).toDF("doc_id", "simhash")
   }
 
+  /** All (a_id < b_id, jaccard) pairs sharing ≥1 shingle — the shared
+    * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = codesDS(s, d)
+    val sh = docs.select(col("doc_id"), size(col("codes")).as("nsh"),
+      explode(col("codes")).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle on the content hash; deterministic survivor
     // (min doc_id). Output = duplicate groups only.
@@ -134,20 +150,8 @@ object Dedup extends QueryModule {
 
     // N-gram Jaccard near-dup: inverted index on shingle code → candidate
     // pairs → exact Jaccard ≥ 0.8. Shuffles on the 8-byte shingle code.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = codesDS(s, d)
-      val sh = docs.select(col("doc_id"), size(col("codes")).as("nsh"),
-        explode(col("codes")).as("sh"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.nsh").as("na"), col("b.nsh").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .select(col("a_id"), col("b_id"),
-          r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).filter(col("jaccard") >= 0.8)),
 
     // MinHash + banded LSH: 16 affine permutations, 4 bands × 4 rows.
     // Candidates share ≥1 band; exact Jaccard (on the same shingle-code
@@ -180,6 +184,43 @@ object Dedup extends QueryModule {
           r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
         .dropDuplicates("a_id", "b_id")
+    }),
+
+    // Duplicate-cluster resolution: connected components over the n-gram
+    // Jaccard near-dup graph (pairs alone under-report — A~B and B~C must
+    // collapse to ONE cluster {A,B,C} with one survivor). Pregel-style
+    // min-label propagation: each round every vertex takes the min
+    // component id among itself and its neighbors; rounds = graph
+    // diameter (near-dup clusters are tiny, so 2–4 in practice, bounded
+    // at 15). Each round is one shuffle on vertex id over the PAIR graph
+    // only — document text never enters the loop. The driver-side loop
+    // scalar is a convergence count, not data (the GraphX/Pregel shape).
+    "dedup_cluster_cc" -> ((s, d) => {
+      val edges = jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id"))
+        .persist()
+      val und = edges.union(edges.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").persist()
+      var labels = und.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).persist()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 15) {
+        val prop = und.join(labels, und("dst") === labels("id"))
+          .select(und("src").as("id"), col("comp"))
+        val next = labels.union(prop)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+          .filter(col("comp") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      val sized = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sized, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("cluster_size"))
     }),
 
     // SimHash (62-bit): frequency-weighted bit votes folded map-side;
@@ -233,6 +274,35 @@ object Dedup extends QueryModule {
           FROM pairs)
         WHERE jaccard >= 0.8
         ORDER BY a_id, b_id
+      """,
+
+      // Transitive closure via recursive CTE (tiny graphs: near-dup
+      // clusters), then component = min reachable id — semantically the
+      // fixpoint the Spark label propagation converges to.
+      "dedup_cluster_cc" -> s"""
+        WITH RECURSIVE tok AS (SELECT doc_id, $duckTokenCodes AS tc FROM documents),
+        docs AS (SELECT doc_id, $duckShingles AS codes FROM tok),
+        sh AS (SELECT doc_id, len(codes) AS nsh, unnest(codes) AS sh FROM docs),
+        prs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+                 count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        ed AS (
+          SELECT a_id, b_id FROM (
+            SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
+            FROM prs)
+          WHERE jaccard >= 0.8),
+        und AS (SELECT a_id AS src, b_id AS dst FROM ed
+                UNION SELECT b_id, a_id FROM ed),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r),
+        comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp ORDER BY doc_id
       """,
 
       "dedup_near_minhash" -> s"""

@@ -157,6 +157,20 @@ object Relational extends QueryModule {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
     }),
 
+    // Exact continuous percentiles per group (sort-based agg, the one agg
+    // family that can't partial-aggregate exactly; at 100 TB the scale
+    // path is approx_percentile's mergeable t-digest-style sketch — kept
+    // exact here because exact IS the oracle-checkable contract).
+    "agg_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("percentile(l_quantity, 0.5)")).as("q50_qty"),
+          r6(expr("percentile(l_quantity, 0.9)")).as("q90_qty"),
+          r6(expr("percentile(l_extendedprice, 0.25)")).as("q25_price"),
+          r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
+    }),
+
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -332,6 +346,15 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_percentiles" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(quantile_cont(l_quantity, 0.5), 6) AS q50_qty,
+             round(quantile_cont(l_quantity, 0.9), 6) AS q90_qty,
+             round(quantile_cont(l_extendedprice, 0.25), 6) AS q25_price,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS q99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 
     "agg_rollup" -> """

@@ -123,6 +123,33 @@ object TextAnalysis extends QueryModule {
         expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
     }),
 
+    // PII scrubbing: regex redaction of emails/phones — the standard
+    // pre-training cleanup pass. The fixtures carry no PII, so each row
+    // deterministically injects a synthetic email (docs where id%3≠0) and
+    // phone (id%2=0) before scrubbing — the point is the distributed
+    // map-side regexp pipeline, byte-identical in the oracle. Patterns are
+    // dialect-portable (greedy char classes only: Java regex and RE2 find
+    // the same spans).
+    "text_pii_scrub" -> ((s, d) => {
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@mail.example.org")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val email = "[a-z0-9._]+@[a-z0-9.]+"
+      val phone = "555-[0-9]{4}"
+      documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).as("n_emails"),
+          regexp_count(col("raw"), lit(phone)).as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("scrubbed"))
+    }),
+
     // Document fingerprinting: full-text rolling hash, winnowing-style
     // minimum shingle hash, and a 1024-way locality bucket. Typed
     // mapPartitions for the same reason as the Dedup signatures (HOF char
@@ -210,6 +237,25 @@ object TextAnalysis extends QueryModule {
                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
                CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
         FROM documents ORDER BY doc_id
+      """,
+
+      "text_pii_scrub" -> """
+        WITH raw AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 <> 0
+                         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+               regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                              '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM raw ORDER BY doc_id
       """,
 
       "text_fingerprint" -> s"""

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-2 pipeline operators: duplicate-cluster
+  * connected components, deterministic sampling, PII scrubbing, exact
+  * percentiles, IVF cell-consistency.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+  import T._
+
+  test("cc: every near-dup edge's endpoints land in the same component") {
+    val comp = SparkEntry.queries("dedup_cluster_cc")(spark, sf)
+      .select(col("doc_id"), col("component"))
+    val edges = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select(col("a_id"), col("b_id"))
+    val broken = edges
+      .join(comp.withColumnRenamed("doc_id", "a_id").withColumnRenamed("component", "ca"), "a_id")
+      .join(comp.withColumnRenamed("doc_id", "b_id").withColumnRenamed("component", "cb"), "b_id")
+      .filter(col("ca") =!= col("cb"))
+    assert(broken.count() == 0)
+  }
+
+  test("cc: component id is the minimum member id; sizes are consistent") {
+    val comp = SparkEntry.queries("dedup_cluster_cc")(spark, sf)
+    val badMin = comp.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
+      .filter(col("component") =!= col("m"))
+    assert(badMin.count() == 0)
+    val badSize = comp.groupBy(col("component"), col("cluster_size"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("cluster_size") =!= col("n"))
+    assert(badSize.count() == 0)
+  }
+
+  test("stratified sample: exactly min(20, |stratum|) per lang, stable across runs") {
+    val s1 = SparkEntry.queries("sample_stratified")(spark, sf)
+    val perLang = s1.groupBy(col("lang")).agg(count(lit(1)).as("k"))
+      .join(documents(spark, sf).groupBy(col("lang")).agg(count(lit(1)).as("n")), "lang")
+      .filter(col("k") =!= least(lit(20), col("n")))
+    assert(perLang.count() == 0)
+    // determinism: a repartitioned re-run picks the identical rows
+    val s2 = SparkEntry.queries("sample_stratified")(spark, sf).repartition(7)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
+
+  test("bernoulli sample: bucket honors the per-stratum rate, rerun-stable") {
+    val s1 = SparkEntry.queries("sample_hash_bernoulli")(spark, sf)
+    val viol = s1.filter(
+      (col("lang") === "en" && col("bucket") >= 10) ||
+        (col("lang") === "de" && col("bucket") >= 20) ||
+        (col("lang") =!= "en" && col("lang") =!= "de" && col("bucket") >= 5))
+    assert(viol.count() == 0)
+    val s2 = SparkEntry.queries("sample_hash_bernoulli")(spark, sf)
+    assert(s1.exceptAll(s2).count() == 0)
+  }
+
+  test("pii scrub: no email/phone pattern survives; counts match injections") {
+    val out = SparkEntry.queries("text_pii_scrub")(spark, sf)
+    assert(out.filter(col("scrubbed").rlike("[a-z0-9._]+@[a-z0-9.]+")).count() == 0)
+    assert(out.filter(col("scrubbed").rlike("555-[0-9]{4}")).count() == 0)
+    val wrong = out.filter(
+      col("n_emails") =!= when(pmod(col("doc_id"), lit(3)) =!= 0, 1).otherwise(0) ||
+        col("n_phones") =!= when(pmod(col("doc_id"), lit(2)) === 0, 1).otherwise(0))
+    assert(wrong.count() == 0)
+  }
+
+  test("percentiles: ordered within group and bounded by min/max") {
+    val q = SparkEntry.queries("agg_percentiles")(spark, sf)
+    val bounds = lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+    val bad = q.join(bounds, "l_returnflag")
+      .filter(col("q50_qty") > col("q90_qty")
+        || col("q50_qty") < col("lo") || col("q90_qty") > col("hi")
+        || col("q25_price") > col("q99_price"))
+    assert(bad.count() == 0)
+  }
+
+  test("ivf: result is the exact top-5 of the chosen cell") {
+    graft.functions.VectorFunctions.register(spark)
+    val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .select(col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = ivf.map(_._1).toSet
+    // recompute: brute-force within the label of the returned rows
+    val label = embeddings(spark, sf)
+      .filter(col("vec_id").isin(cells.toSeq.map(Long.box): _*))
+      .select(col("label")).distinct().collect()
+    assert(label.length == 1, "all IVF hits come from one cell")
+    val l = label(0).getInt(0)
+    val probe = embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val exact = embeddings(spark, sf)
+      .filter(col("label") === l && col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        r6(expr("dot_f32(embedding, probe_emb) / (sqrt(dot_f32(embedding, embedding)) * sqrt(dot_f32(probe_emb, probe_emb)))")).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == exact.toSeq)
+  }
+}
