@@ -123,6 +123,27 @@ object TextAnalysis extends QueryModule {
         expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
     }),
 
+    // TF-IDF: the two-aggregate composition (per-doc term counts, then
+    // corpus document frequency) with smoothed idf = ln((N+1)/(df+1)) + 1.
+    // Both aggregates are hash aggs shuffling on (doc, token) / token; the
+    // df table and corpus size broadcast back onto the tf table — at
+    // 100 TB the vocabulary side is small relative to the corpus, exactly
+    // the broadcast-join shape.
+    "text_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          r6(col("tf") * (log((col("n_docs") + 1).cast("double")
+            / (col("df") + 1)) + 1)).as("tfidf"))
+    }),
+
     // PII scrubbing: regex redaction of emails/phones — the standard
     // pre-training cleanup pass. The fixtures carry no PII, so each row
     // deterministically injects a synthetic email (docs where id%3≠0) and
@@ -237,6 +258,19 @@ object TextAnalysis extends QueryModule {
                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
                CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
         FROM documents ORDER BY doc_id
+      """,
+
+      "text_tfidf" -> """
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1), 6) AS tfidf
+        FROM tf JOIN df USING (token), n
+        ORDER BY doc_id, token
       """,
 
       "text_pii_scrub" -> """

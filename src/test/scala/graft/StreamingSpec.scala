@@ -96,6 +96,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 stateful v2) running totals on RocksDB state") {
+    // Same running-counts semantics as the mapGroupsWithState test, on the
+    // replacement API: explicit typed ValueState handles + RocksDB state
+    // store (the 100 TB operational path — incremental checkpoints, state
+    // larger than executor heap).
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    class RunningTotal extends StatefulProcessor[String, (String, Long), (String, Long)] {
+      @transient private var total: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+          timers: TimerValues): Iterator[(String, Long)] = {
+        val t = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(t)
+        Iterator.single((key, t))
+      }
+    }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val totals = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotal, TimeMode.None(), OutputMode.Update())
+    val q = totals.toDF("file", "total").writeStream.format("memory")
+      .queryName("tws_totals").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("a.webm", 3L), ("a.webm", 2L), ("b.ogg", 7L))
+      q.processAllAvailable()
+      mem.addData(("a.webm", 5L))
+      q.processAllAvailable()
+      val last = spark.table("tws_totals").groupBy("file")
+        .agg(max("total").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(last == Map("a.webm" -> 10L, "b.ogg" -> 7L), s"got $last")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch incremental upsert matches batch recompute") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
