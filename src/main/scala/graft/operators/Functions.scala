@@ -67,6 +67,21 @@ object Functions extends QueryModule {
         r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
     }),
 
+    // Bitwise family: shifts, and/or/xor, popcount, complement — the ops
+    // behind every banded-LSH/bucketing trick in the dedup suite, covered
+    // as first-class scalars.
+    "fn_bitwise" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        shiftleft(col("p_partkey"), 3).as("shl3"),
+        shiftright(col("p_partkey"), 2).as("shr2"),
+        expr("p_partkey & 255").as("and255"),
+        expr("p_partkey | 15").as("or15"),
+        expr("p_partkey ^ 21845").as("xor_alt"),
+        expr("bit_count(p_partkey)").as("popcount"),
+        expr("~p_partkey").as("complement"))
+    }),
+
     // Array ops + higher-order functions over tokenized text.
     "fn_array" -> ((s, d) => {
       val tokens = split(col("text"), " ")
@@ -166,6 +181,18 @@ object Functions extends QueryModule {
              round(greatest(l_tax, l_discount), 6) AS max_rate,
              round(least(l_tax, l_discount), 6) AS min_rate
       FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "fn_bitwise" -> """
+      SELECT p_partkey,
+             p_partkey << 3 AS shl3,
+             p_partkey >> 2 AS shr2,
+             p_partkey & 255 AS and255,
+             p_partkey | 15 AS or15,
+             xor(p_partkey, 21845) AS xor_alt,
+             CAST(bit_count(p_partkey) AS INT) AS popcount,
+             ~p_partkey AS complement
+      FROM part ORDER BY p_partkey
     """,
 
     "fn_array" -> """

@@ -157,6 +157,29 @@ object Relational extends QueryModule {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
     }),
 
+    // argmax/argmin per group: WHICH row holds the extreme, not just the
+    // extreme itself. Ties broken deterministically by (value, event_id)
+    // lexicographic struct ordering — max_by/min_by on a struct key.
+    "agg_argminmax" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("max_by(event_id, struct(value, event_id))").as("max_value_event"),
+          expr("min_by(event_id, struct(value, event_id))").as("min_value_event"),
+          r6(max(col("value"))).as("max_value"),
+          r6(min(col("value"))).as("min_value"))
+    }),
+
+    // Fixed-width histogram via explicit bucket arithmetic (floor + cap):
+    // one hash agg on a derived int key — the binning itself is map-side
+    // codegen'd projection work, portable to any engine.
+    "agg_histogram" -> ((s, d) => {
+      events(s, d)
+        .select(least(floor(col("value") / 10).cast("long"), lit(19L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Exact continuous percentiles per group (sort-based agg, the one agg
     // family that can't partial-aggregate exactly; at 100 TB the scale
     // path is approx_percentile's mergeable t-digest-style sketch — kept
@@ -346,6 +369,27 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_argminmax" -> """
+      WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id DESC) AS rmax,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value ASC, event_id ASC) AS rmin
+        FROM events)
+      SELECT event_type,
+             max(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
+             max(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+             round(max(value), 6) AS max_value,
+             round(min(value), 6) AS min_value
+      FROM r GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_histogram" -> """
+      SELECT least(CAST(floor(value / 10) AS BIGINT), 19) AS bucket, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY bucket
     """,
 
     "agg_percentiles" -> """

@@ -7,7 +7,9 @@ object PlanDump {
     val d = "/root/testdata/sf0.01"
     val keys = Seq("agg_daily_counts", "scan_parquet_pushdown", "join_broadcast_dim",
       "topk_global", "win_trailing_30d", "dedup_ngram_jaccard", "sim_topk_neighbors",
-      "join_asof_latest", "stream_session_5m", "sim_ivf_topk")
+      "join_asof_latest", "stream_session_5m", "sim_ivf_topk",
+      "text_tfidf", "sample_hash_bernoulli", "sample_stratified", "text_pii_scrub",
+      "agg_histogram", "agg_argminmax", "agg_percentiles", "fn_bitwise")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(s, d)
