@@ -186,6 +186,48 @@ object Dedup extends QueryModule {
         .dropDuplicates("a_id", "b_id")
     }),
 
+    // Survivor selection: within each exact-dup group keep the "best"
+    // copy (longest text, ties to the smallest id) — the keep-best policy
+    // every real pipeline wants instead of keep-first. argmax via
+    // max_by on a (quality, -id) struct; one hash shuffle on the content
+    // hash, same as dedup_exact.
+    "dedup_keep_best" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(
+          expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          max(col("n_chars")).as("max_chars"))
+        .filter(col("n_copies") > 1)
+    }),
+
+    // Document-frequency-capped n-gram Jaccard: drop shingles present in
+    // > 5% of the corpus BEFORE the candidate self-join. This is the
+    // 100 TB skew guard — a stop-shingle shared by millions of docs turns
+    // the inverted-index join quadratic in that bucket; capping bounds
+    // every bucket at cap² pairs. Jaccard is then computed over the KEPT
+    // shingle sets (the oracle applies the identical cap).
+    "dedup_ngram_capped" -> ((s, d) => {
+      val docs = codesDS(s, d)
+      val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val cap = documents(s, d)
+        .agg(ceil(count(lit(1)) * 0.05).cast("long").as("cap"))
+      val kept = sh.join(df, "sh").crossJoin(broadcast(cap))
+        .filter(col("df") <= col("cap"))
+        .select(col("doc_id"), col("sh"))
+      val nsh = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val e = kept.join(nsh, "doc_id")
+      e.as("a").join(e.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("a_id"), col("b_id"),
+          r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }),
+
     // Duplicate-cluster resolution: connected components over the n-gram
     // Jaccard near-dup graph (pairs alone under-report — A~B and B~C must
     // collapse to ONE cluster {A,B,C} with one survivor). Pregel-style
@@ -272,6 +314,42 @@ object Dedup extends QueryModule {
         SELECT a_id, b_id, jaccard FROM (
           SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
           FROM pairs)
+        WHERE jaccard >= 0.8
+        ORDER BY a_id, b_id
+      """,
+
+      "dedup_keep_best" -> """
+        WITH ranked AS (
+          SELECT sha256(text) AS text_sha, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY sha256(text)
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+                 max(n_chars) OVER (PARTITION BY sha256(text)) AS max_chars
+          FROM documents)
+        SELECT text_sha, doc_id AS keep_id, n_copies, max_chars
+        FROM ranked WHERE rn = 1 AND n_copies > 1
+        ORDER BY keep_id
+      """,
+
+      "dedup_ngram_capped" -> s"""
+        WITH tok AS (SELECT doc_id, $duckTokenCodes AS tc FROM documents),
+        docs AS (SELECT doc_id, $duckShingles AS codes FROM tok),
+        sh AS (SELECT doc_id, unnest(codes) AS sh FROM docs),
+        df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        cap AS (SELECT CAST(ceil(count(*) * 0.05) AS BIGINT) AS cap FROM documents),
+        kept AS (
+          SELECT sh.doc_id, sh.sh FROM sh JOIN df USING (sh), cap
+          WHERE df.df <= cap.cap),
+        nsh AS (SELECT doc_id, count(*) AS nsh FROM kept GROUP BY doc_id),
+        e AS (SELECT kept.doc_id, kept.sh, nsh.nsh FROM kept JOIN nsh USING (doc_id)),
+        prs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+                 count(*) AS inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT a_id, b_id, jaccard FROM (
+          SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
+          FROM prs)
         WHERE jaccard >= 0.8
         ORDER BY a_id, b_id
       """,

@@ -78,6 +78,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("keep-best survivor holds the group's max n_chars (sf0.1: dups exist there)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val out = SparkEntry.queries("dedup_keep_best")(spark, sf01)
+    assert(out.count() == 8, "fixtures plant 8 exact-dup groups at sf0.1")
+    val docs = documents(spark, sf01).select(col("doc_id").as("keep_id"), col("n_chars"))
+    val bad = out.join(docs, "keep_id").filter(col("n_chars") =!= col("max_chars"))
+    assert(bad.count() == 0, "survivor is not the longest copy")
+  }
+
+  test("capped jaccard equals plain jaccard when no shingle exceeds the cap") {
+    // Fixture shingles are near-unique, so the 5% DF cap drops nothing —
+    // the capped variant must then be IDENTICAL to the uncapped one (the
+    // cap is a pure pruning guard, not an approximation, until it fires).
+    val plain = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    val capped = SparkEntry.queries("dedup_ngram_capped")(spark, sf)
+    assert(plain.exceptAll(capped).count() == 0 && capped.exceptAll(plain).count() == 0)
+  }
+
   test("ivf: result is the exact top-5 of the chosen cell") {
     graft.functions.VectorFunctions.register(spark)
     val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)

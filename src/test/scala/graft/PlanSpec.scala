@@ -63,6 +63,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bernoulli sampling is a single map stage: no exchange at all") {
+    val p = plan("sample_hash_bernoulli")
+    assert(!p.contains("Exchange"), s"bernoulli sample must not shuffle:\n$p")
+  }
+
+  test("stratified sampling caps rows per stratum before the shuffle") {
+    val p = plan("sample_stratified")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown (WindowGroupLimit) in:\n$p")
+  }
+
+  test("tfidf broadcasts the vocabulary side") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "vocab join must not sort-merge")
+  }
+
+  test("pii scrub and histogram binning are map-side projections") {
+    assert(!plan("text_pii_scrub").contains("Exchange"),
+      "pii scrub must be shuffle-free")
+    val h = plan("agg_histogram")
+    assert(h.contains("partial_count"), "histogram must partial-aggregate map-side")
+  }
+
   test("dedup candidate joins shuffle on short keys, not document text") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.toLowerCase.contains("broadcastnestedloop"),
