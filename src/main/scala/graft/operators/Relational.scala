@@ -194,6 +194,18 @@ object Relational extends QueryModule {
           r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
     }),
 
+    // Mergeable quantile sketch — the 100 TB path for agg_percentiles
+    // (partial-aggregatable, bounded state). No oracle: sketch internals
+    // are engine-specific; PipelineOpsSpec bounds it against the exact
+    // percentiles by rank tolerance.
+    "agg_approx_quantiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("q50_qty"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("q99_price"))
+    }),
+
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("only intentionally sketch-based keys lack an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_hll"), s"unexpected oracle-less keys: $noOracle")
+    assert(noOracle == Set("agg_approx_hll", "agg_approx_quantiles"),
+      s"unexpected oracle-less keys: $noOracle")
   }
 
   test("every query executes at sf0.001") {

@@ -96,6 +96,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(capped).count() == 0 && capped.exceptAll(plain).count() == 0)
   }
 
+  test("approx quantiles land within tolerance of exact percentiles") {
+    val approx = SparkEntry.queries("agg_approx_quantiles")(spark, sf)
+      .select(col("l_returnflag"), col("q50_qty"), col("q99_price")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("agg_percentiles")(spark, sf)
+      .select(col("l_returnflag"), col("q50_qty"), col("q99_price")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e99)) =>
+      val (a50, a99) = approx(k)
+      // accuracy=10000 ⇒ rank error ≤ n/10000; values here are smooth, so
+      // a loose 5% value tolerance is far outside the expected error.
+      assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.05), s"$k q50: $a50 vs $e50")
+      assert(math.abs(a99 - e99) <= math.max(1.0, e99 * 0.05), s"$k q99: $a99 vs $e99")
+    }
+  }
+
   test("ivf: result is the exact top-5 of the chosen cell") {
     graft.functions.VectorFunctions.register(spark)
     val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)

@@ -96,6 +96,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file source streams daily-dump arrivals incrementally") {
+    // The reference's cron loop as a file stream: each daily dump lands as
+    // a parquet file in a watched directory; AvailableNow drains whatever
+    // has arrived, maxFilesPerTrigger bounds per-batch work at scale.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_stream").toString
+    Seq((ts("2024-01-01 01:00:00"), "view", 1.0), (ts("2024-01-01 02:00:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(dir)
+    Seq((ts("2024-01-02 01:00:00"), "click", 5.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val agg = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("file_stream_daily")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.table("file_stream_daily")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      assert(rows == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState (Spark 4 stateful v2) running totals on RocksDB state") {
     // Same running-counts semantics as the mapGroupsWithState test, on the
     // replacement API: explicit typed ValueState handles + RocksDB state
