@@ -112,6 +112,20 @@ object Functions extends QueryModule {
         concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"))
     }),
 
+    // Struct (nested row) construction, field access, and lexicographic
+    // struct comparison — the nested-type surface beyond arrays/maps.
+    // Output is flattened to scalars (driver compare is scalar-only).
+    "fn_struct" -> ((s, d) => {
+      val st = struct(col("o_orderstatus").as("st"), col("o_totalprice").as("price"))
+      orders(s, d).select(
+        col("o_orderkey"),
+        st.getField("st").as("status_f"),
+        r6(st.getField("price")).as("price_f"),
+        (struct(col("o_orderstatus"), col("o_orderkey"))
+          === struct(lit("O"), col("o_orderkey"))).as("is_open_pair"),
+        expr("named_struct('a', o_orderkey, 'b', o_custkey).b").as("cust_f"))
+    }),
+
     // JSON extraction from the events.props payload column.
     "fn_json" -> ((s, d) => {
       events(s, d).select(
@@ -217,6 +231,15 @@ object Functions extends QueryModule {
              2 AS m_size,
              'n_chars,n_tokens' AS keys_sorted
       FROM documents ORDER BY doc_id
+    """,
+
+    "fn_struct" -> """
+      SELECT o_orderkey,
+             o_orderstatus AS status_f,
+             round(o_totalprice, 6) AS price_f,
+             (o_orderstatus, o_orderkey) = ('O', o_orderkey) AS is_open_pair,
+             o_custkey AS cust_f
+      FROM orders ORDER BY o_orderkey
     """,
 
     "fn_json" -> """

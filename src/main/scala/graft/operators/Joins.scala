@@ -53,6 +53,27 @@ object Joins extends QueryModule {
         .agg(count(lit(1)).as("n_lines"), r4(sum(col("l_quantity"))).as("sum_qty"))
     }),
 
+    // Salted fact-dim equi-join: the manual skew fix for a hot join key
+    // when the dim side is too big to broadcast outright. The fact side
+    // salts its key with pmod(event_id, 8); the dim side replicates ×8
+    // (one copy per salt) so every (key, salt) pair still matches — the
+    // hot key's rows now spread over 8 reducers instead of one. Result is
+    // identical to the plain join (the oracle computes it plain).
+    "join_salted_skew" -> ((s, d) => {
+      val salts = 8
+      val fact = events(s, d)
+        .select(col("user_id"), col("value"),
+          pmod(col("event_id"), lit(salts)).as("salt"))
+      val dim = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .crossJoin(broadcast(
+          s.range(0, salts).select(col("id").cast("int").as("salt"))))
+      fact.join(dim,
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("total_value"))
+    }),
+
     // Customers with zero orders kept (left outer + count of non-nulls).
     "join_left_outer" -> ((s, d) => {
       customer(s, d)
@@ -155,6 +176,12 @@ object Joins extends QueryModule {
       SELECT o_orderstatus, count(*) AS n_lines, round(sum(l_quantity), 4) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+
+    "join_salted_skew" -> """
+      SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 
     "join_left_outer" -> """

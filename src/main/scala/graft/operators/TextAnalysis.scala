@@ -144,6 +144,33 @@ object TextAnalysis extends QueryModule {
             / (col("df") + 1)) + 1)).as("tfidf"))
     }),
 
+    // Bigram language-model scoring: add-one-smoothed avg log
+    // P(wᵢ | wᵢ₋₁) per document — the perplexity-style fluency filter for
+    // training corpora. Corpus bigram/unigram tables are hash aggs; the
+    // per-doc score joins bigrams back to both count tables (vocab-sized
+    // ⇒ broadcast at real scale) and averages ln((c₁₂+1)/(c₁+V)).
+    "text_bigram_lm" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "token")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok
+        .withColumn("prev", lag(col("token"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("prev"), col("token"))
+      val bc = big.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c12"))
+      val uc = tok.groupBy(col("token").as("prev")).agg(count(lit(1)).as("c1"))
+      val v = tok.select(col("token")).distinct()
+        .agg(count(lit(1)).as("vocab"))
+      big.join(broadcast(bc), Seq("prev", "token"))
+        .join(broadcast(uc), Seq("prev"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("vocab")))))
+            .as("avg_logp"))
+    }),
+
     // PII scrubbing: regex redaction of emails/phones — the standard
     // pre-training cleanup pass. The fixtures carry no PII, so each row
     // deterministically injects a synthetic email (docs where id%3≠0) and
@@ -271,6 +298,28 @@ object TextAnalysis extends QueryModule {
                round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1), 6) AS tfidf
         FROM tf JOIN df USING (token), n
         ORDER BY doc_id, token
+      """,
+
+      "text_bigram_lm" -> """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos
+          FROM documents),
+        big AS (
+          SELECT doc_id, prev, token FROM (
+            SELECT doc_id, token, pos,
+                   lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok)
+          WHERE prev IS NOT NULL),
+        bc AS (SELECT prev, token, count(*) AS c12 FROM big GROUP BY 1, 2),
+        uc AS (SELECT token AS prev, count(*) AS c1 FROM tok GROUP BY 1),
+        v AS (SELECT count(DISTINCT token) AS vocab FROM tok)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vocab))), 6) AS avg_logp
+        FROM big JOIN bc USING (prev, token) JOIN uc USING (prev), v
+        GROUP BY doc_id
+        ORDER BY doc_id
       """,
 
       "text_pii_scrub" -> """
