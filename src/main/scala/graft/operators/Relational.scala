@@ -194,6 +194,42 @@ object Relational extends QueryModule {
           r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
     }),
 
+    // Pivot: long → wide reshape (one column per event type). Spark plans
+    // this as a single hash agg with CASE-filtered partials — one shuffle
+    // on the group key, never a per-pivot-value pass. Pivot values are
+    // EXPLICIT (an inferred list would mean an extra distinct job and a
+    // nondeterministic column order).
+    "agg_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy(day(col("ts")).as("day"))
+        .pivot("event_type", Seq("view", "click", "error", "purchase", "signup"))
+        .agg(r4(sum(col("value"))))
+    }),
+
+    // Unpivot (melt): wide → long reshape, the inverse. Zero shuffles —
+    // each input row fans out to one row per measure, map-side.
+    "proj_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+    }),
+
+    // Ordered collect: set-valued aggregation surfaced as a scalar —
+    // sort_array(collect_set(...)) joined to a string so the result is
+    // deterministic and driver-comparable (raw collect_list order is
+    // partition-dependent and NEVER comparable).
+    "agg_collect_ordered" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
+
     // Mergeable quantile sketch — the 100 TB path for agg_percentiles
     // (partial-aggregatable, bounded state). No oracle: sketch internals
     // are engine-specific; PipelineOpsSpec bounds it against the exact
@@ -381,6 +417,33 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_pivot" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value) FILTER (event_type = 'view'), 4) AS view,
+             round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+             round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+             round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+             round(sum(value) FILTER (event_type = 'signup'), 4) AS signup
+      FROM events GROUP BY 1 ORDER BY day
+    """,
+
+    "proj_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, measure
+    """,
+
+    "agg_collect_ordered" -> """
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id
     """,
 
     "agg_argminmax" -> """
