@@ -41,7 +41,10 @@ object Bench {
     // seconds. Full per-key numbers live in BASELINE.md / local runs.
     def f(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.values.filter(_ >= 0).sum
-    val sorted = results.toSeq.sortBy { case (_, v) => -v }
+    // Failures (-1 sentinel) sort FIRST: under the char budget the tail
+    // gets folded into the omitted summary, and a failed key must never
+    // disappear from the line (sorting by -v alone would bury them last).
+    val sorted = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
     val (shown, omitted) = {
       var used = 0
       val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

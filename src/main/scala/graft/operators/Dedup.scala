@@ -122,13 +122,10 @@ object Dedup extends QueryModule {
       }).toDF("doc_id", "simhash")
   }
 
-  /** All (a_id < b_id, jaccard) pairs sharing ≥1 shingle — the shared
-    * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
+  /** Candidate self-join + exact Jaccard over an exploded shingle index
+    * (doc_id, nsh, sh) — the shared tail of every shingle-based key.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = codesDS(s, d)
-    val sh = docs.select(col("doc_id"), size(col("codes")).as("nsh"),
-      explode(col("codes")).as("sh"))
+  private def jaccardFromIndex(sh: DataFrame): DataFrame =
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -136,7 +133,13 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-  }
+
+  /** All (a_id < b_id, jaccard) pairs sharing ≥1 shingle — the shared
+    * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardFromIndex(codesDS(s, d).select(col("doc_id"),
+      size(col("codes")).as("nsh"), explode(col("codes")).as("sh")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle on the content hash; deterministic survivor
@@ -217,15 +220,8 @@ object Dedup extends QueryModule {
         .filter(col("df") <= col("cap"))
         .select(col("doc_id"), col("sh"))
       val nsh = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val e = kept.join(nsh, "doc_id")
-      e.as("a").join(e.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.nsh").as("na"), col("b.nsh").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .select(col("a_id"), col("b_id"),
-          r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      val e = kept.join(nsh, "doc_id").select(col("doc_id"), col("nsh"), col("sh"))
+      jaccardFromIndex(e).filter(col("jaccard") >= 0.8)
     }),
 
     // Duplicate-cluster resolution: connected components over the n-gram
@@ -245,20 +241,48 @@ object Dedup extends QueryModule {
         .toDF("src", "dst").persist()
       var labels = und.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")).persist()
-      var changed = 1L
+      // Convergence scalar: component ids only ever DECREASE under
+      // min-propagation, so Σcomp strictly decreases until the fixpoint —
+      // one cheap aggregate per round instead of a change-detection join.
+      // sum() over an EMPTY vertex set is SQL null → Option, not getLong
+      // (an already-clean corpus has no near-dup edges at all).
+      def compSum(): Option[Long] =
+        Option(labels.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))
+          .map(_.longValue())
+      var oldSum = Option(Long.MaxValue)
+      var newSum = compSum()
       var round = 0
-      while (changed > 0 && round < 15) {
+      while (newSum.isDefined && newSum != oldSum && round < 15) {
         val prop = und.join(labels, und("dst") === labels("id"))
           .select(und("src").as("id"), col("comp"))
         val next = labels.union(prop)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-          .filter(col("comp") =!= col("old")).count()
-        labels.unpersist()
+        // Materialize next's cache BEFORE dropping the previous labels —
+        // next is built FROM them, and unpersisting first would recompute
+        // every prior round's lineage from scratch (quadratic blowup).
+        val prev = labels
         labels = next
+        oldSum = newSum
+        newSum = compSum()
+        prev.unpersist()
         round += 1
       }
+      // A silent non-converged exit would report one real cluster as two
+      // components (and disagree with the oracle's transitive closure) —
+      // fail loudly instead. 15 rounds covers eccentricity ≤ 15 from the
+      // cluster's min id; real near-dup clusters are orders of magnitude
+      // shallower.
+      require(newSum == oldSum || newSum.isEmpty,
+        s"dedup_cluster_cc did not converge within $round rounds")
+      // The loop's per-round aggregate has materialized `labels` into
+      // cache, so the candidate-stage inputs can be dropped now.
+      // edges/und/labels stay cached DELIBERATELY: the returned DataFrame
+      // is lazy, and its cache entry is only guaranteed materialized when
+      // the caller consumes it — an eager unpersist here forces the final
+      // action to recompute the whole candidate pipeline (measured 2× on
+      // this key). The residue is the pair graph only (ids, no text),
+      // bounded and session-scoped.
       val sized = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sized, "comp")
         .select(col("id").as("doc_id"), col("comp").as("component"),

@@ -30,7 +30,12 @@ object Sampling extends QueryModule {
   import T._
 
   private val P = 2147483647L
-  private def h(c: String) = s"(CAST($c AS BIGINT) * 1103515245 + 12345) % $P"
+  // Reduce the id mod P BEFORE the multiply: the product then stays below
+  // P·1103515245 ≈ 2.4e18 < 2^63 for ANY 64-bit id. A raw id·a would wrap
+  // (Spark) or error (DuckDB ANSI overflow) once ids pass 2^63/a ≈ 8.4e9 —
+  // i.e. exactly at the 100 TB scale this module claims to serve. Same
+  // discipline as the Dedup hash fragments.
+  private def h(c: String) = s"((CAST($c AS BIGINT) % $P) * 1103515245 + 12345) % $P"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fixed-size stratified sample: exactly min(20, |stratum|) docs per

@@ -35,6 +35,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(badSize.count() == 0)
   }
 
+  test("cc: an already-clean corpus (no near-dup edges) yields an empty result, not a crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_clean").toString
+    (0L until 20L).map(i => (i, s"unique document number $i with its own words w$i x$i y$i z$i q$i",
+        "en", "src0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("dedup_cluster_cc")(spark, dir).count() == 0)
+  }
+
   test("stratified sample: exactly min(20, |stratum|) per lang, stable across runs") {
     val s1 = SparkEntry.queries("sample_stratified")(spark, sf)
     val perLang = s1.groupBy(col("lang")).agg(count(lit(1)).as("k"))

@@ -5,7 +5,11 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB against views over <sfDir>, and
-compares values exactly (columns sorted by name, rows in emitted order).
+compares values exactly: columns sorted by name, rows as a SORTED MULTISET
+(the driver pandas-sorts rows before hashing, so emitted order is
+irrelevant — do NOT re-add presentation orderBys to queries for parity),
+with int/float/bool type classes distinguished (the driver's hash is
+dtype-sensitive).
 """
 import sys, os, json, glob
 import duckdb
