@@ -160,6 +160,51 @@ object Similarity extends QueryModule {
         .limit(5)
     }),
 
+    // IVF with nprobe=2: search the TWO nearest cells — the standard
+    // recall knob (each extra probe linearly trades compute for recall;
+    // at scale each cell is a partition shard, so nprobe bounds the
+    // fraction of data a probe touches).
+    "sim_ivf_nprobe2" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val meanVec = udaf(VectorAvg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      s.udf.register("mean_vec", meanVec)
+      val e = embeddings(s, d)
+      val cents = e.groupBy(col("label").as("cell"))
+        .agg(expr("mean_vec(embedding)").as("c"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val bestCells = cents.crossJoin(broadcast(probe))
+        .select(col("cell"),
+          r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
+        .orderBy(desc("ccos"), col("cell"))
+        .limit(2)
+      e.join(broadcast(bestCells), col("label") === col("cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(5)
+    }),
+
+    // Range (threshold) search: ALL vectors within cosine ≥ τ of the
+    // probe — the radius-query dual of top-k; pure map-side filter after
+    // the broadcast, output size data-dependent.
+    "sim_range_search" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+        .filter(col("cos") >= 0.2)
+    }),
+
     // Embedding near-dup: each vector's nearest neighbor within its label
     // block. Cosine rounded BEFORE ranking so ties break identically in
     // both engines (by neighbor id).
@@ -303,6 +348,38 @@ object Similarity extends QueryModule {
       FROM embeddings, probe, best
       WHERE label = best.cell AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+
+    "sim_ivf_nprobe2" -> s"""
+      WITH cent AS (
+        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
+          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i)
+        GROUP BY label),
+      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+      best AS (
+        SELECT cell FROM cent, probe
+        ORDER BY round(
+          list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
+          / (sqrt(${duckDot("p", "p")})
+             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
+          cell
+        LIMIT 2)
+      SELECT vec_id, label,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe, best
+      WHERE label = best.cell AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+
+    "sim_range_search" -> s"""
+      WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe
+      WHERE vec_id <> 0 AND round(${duckCosine("embedding", "p")}, 6) >= 0.2
+      ORDER BY vec_id
     """,
 
     "dedup_embed_cosine" -> s"""

@@ -122,6 +122,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf recall is monotone in nprobe: 2-cell scores dominate 1-cell scores") {
+    def scores(key: String) = SparkEntry.queries(key)(spark, sf)
+      .select(col("cos")).collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse)
+    val p1 = scores("sim_ivf_topk")
+    val p2 = scores("sim_ivf_nprobe2")
+    assert(p1.length == p2.length)
+    p1.zip(p2).foreach { case (s1, s2) =>
+      assert(s2 >= s1 - 1e-9, s"nprobe=2 rank score $s2 below nprobe=1 score $s1")
+    }
+    // and both are bounded by the global brute-force top-5
+    val brute = SparkEntry.queries("sim_topk_neighbors")(spark, sf)
+      .select(col("cos")).collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse).take(5)
+    brute.zip(p2).foreach { case (b, s2) => assert(b >= s2 - 1e-9) }
+  }
+
+  test("range search contains every brute-force top-k hit above its threshold") {
+    val range = SparkEntry.queries("sim_range_search")(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val topk = SparkEntry.queries("sim_topk_neighbors")(spark, sf)
+      .filter(col("cos") >= 0.2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(topk.subsetOf(range), s"missing: ${topk -- range}")
+  }
+
   test("ivf: result is the exact top-5 of the chosen cell") {
     graft.functions.VectorFunctions.register(spark)
     val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)
