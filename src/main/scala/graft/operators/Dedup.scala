@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` (BASELINE.json mandate: exact,
@@ -213,14 +214,20 @@ object Dedup extends QueryModule {
     "dedup_ngram_capped" -> ((s, d) => {
       val docs = codesDS(s, d)
       val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
-      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       val cap = documents(s, d)
         .agg(ceil(count(lit(1)) * 0.05).cast("long").as("cap"))
-      val kept = sh.join(df, "sh").crossJoin(broadcast(cap))
+      // df and nsh as whole-partition window counts, not agg+join pairs:
+      // each is ONE shuffle (no sort — the frame is the whole partition)
+      // and the shingle stream never joins back to itself before the
+      // candidate join.
+      val kept = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .crossJoin(broadcast(cap))
         .filter(col("df") <= col("cap"))
         .select(col("doc_id"), col("sh"))
-      val nsh = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val e = kept.join(nsh, "doc_id").select(col("doc_id"), col("nsh"), col("sh"))
+      val e = kept.withColumn("nsh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id"), col("nsh"), col("sh"))
       jaccardFromIndex(e).filter(col("jaccard") >= 0.8)
     }),
 
