@@ -52,6 +52,30 @@ object Similarity extends QueryModule {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe. */
+  private def duckIvf(nprobe: Int): String = s"""
+      WITH cent AS (
+        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
+          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i)
+        GROUP BY label),
+      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+      best AS (
+        SELECT cell FROM cent, probe
+        ORDER BY round(
+          list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
+          / (sqrt(${duckDot("p", "p")})
+             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
+          cell
+        LIMIT $nprobe)
+      SELECT vec_id, label,
+             round(${duckCosine("embedding", "p")}, 6) AS cos
+      FROM embeddings, probe, best
+      WHERE label = best.cell AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 5
+    """
+
   /** Deterministic LSH hyperplane weight for (plane p, 1-based dim i):
     * pseudo-random int in [-998, 998] from fixed affine arithmetic —
     * identical in both engines, no RNG.
@@ -67,20 +91,58 @@ object Similarity extends QueryModule {
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * ${planeW(p)})) > 0 THEN 1 ELSE 0 END << $p)"
     }.mkString(" + ")
 
+  /** Every non-probe vector scored against the broadcast probe (vec_id 0)
+    * with the codegen'd r6-rounded cosine — the shared head of the
+    * brute-force top-k, range-search, and IVF in-cell rank stages.
+    */
+  private def probeScored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("embedding"), col("probe_emb"))
+  }
+
+  private def scored(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+
+  /** IVF search: route the probe to its `nprobe` nearest coarse cells
+    * (per-label mean-embedding centroids from the vector-avg UDAF), then
+    * exact top-5 within their union.
+    */
+  private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val meanVec = udaf(VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    s.udf.register("mean_vec", meanVec)
+    val e = embeddings(s, d)
+    val cents = e.groupBy(col("label").as("cell"))
+      .agg(expr("mean_vec(embedding)").as("c"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    // f32×f64 and f64×f64 dots stay HOF (mixed types); same fold order.
+    val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val bestCells = cents.crossJoin(broadcast(probe))
+      .select(col("cell"),
+        r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
+      .orderBy(desc("ccos"), col("cell"))
+      .limit(nprobe)
+    scored(probeScored(s, d)
+        .join(broadcast(bestCells), col("label") === col("cell")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors of probe vec_id = 0.
-    "sim_topk_neighbors" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = embeddings(s, d)
-      val probe = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe_emb"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("label"),
-          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
+    "sim_topk_neighbors" -> ((s, d) =>
+      scored(probeScored(s, d))
         .orderBy(desc("cos"), col("vec_id"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     // The scalar cosine expression itself (SURVEY §2.10 expr_cosine):
     // map-side HOF arithmetic, no shuffle, no UDF.
@@ -133,77 +195,19 @@ object Similarity extends QueryModule {
     // tie-break), then exact top-5 WITHIN that cell only. At scale the
     // cell id is the partition key: a probe touches one cell's shard,
     // and nprobe>1 multi-cell search is the recall knob.
-    "sim_ivf_topk" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val meanVec = udaf(VectorAvg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      s.udf.register("mean_vec", meanVec)
-      val e = embeddings(s, d)
-      val cents = e.groupBy(col("label").as("cell"))
-        .agg(expr("mean_vec(embedding)").as("c"))
-      val probe = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe_emb"))
-      // f32×f64 and f64×f64 dots stay HOF (mixed types); same fold order.
-      val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val bestCell = cents.crossJoin(broadcast(probe))
-        .select(col("cell"),
-          r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
-        .orderBy(desc("ccos"), col("cell"))
-        .limit(1)
-      e.join(broadcast(bestCell), col("label") === col("cell"))
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("label"),
-          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
-        .orderBy(desc("cos"), col("vec_id"))
-        .limit(5)
-    }),
+    "sim_ivf_topk" -> ((s, d) => ivfTopk(s, d, nprobe = 1)),
 
     // IVF with nprobe=2: search the TWO nearest cells — the standard
     // recall knob (each extra probe linearly trades compute for recall;
     // at scale each cell is a partition shard, so nprobe bounds the
     // fraction of data a probe touches).
-    "sim_ivf_nprobe2" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val meanVec = udaf(VectorAvg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      s.udf.register("mean_vec", meanVec)
-      val e = embeddings(s, d)
-      val cents = e.groupBy(col("label").as("cell"))
-        .agg(expr("mean_vec(embedding)").as("c"))
-      val probe = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe_emb"))
-      val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val bestCells = cents.crossJoin(broadcast(probe))
-        .select(col("cell"),
-          r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
-        .orderBy(desc("ccos"), col("cell"))
-        .limit(2)
-      e.join(broadcast(bestCells), col("label") === col("cell"))
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("label"),
-          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
-        .orderBy(desc("cos"), col("vec_id"))
-        .limit(5)
-    }),
+    "sim_ivf_nprobe2" -> ((s, d) => ivfTopk(s, d, nprobe = 2)),
 
     // Range (threshold) search: ALL vectors within cosine ≥ τ of the
     // probe — the radius-query dual of top-k; pure map-side filter after
     // the broadcast, output size data-dependent.
-    "sim_range_search" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = embeddings(s, d)
-      val probe = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe_emb"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("label"),
-          r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
-        .filter(col("cos") >= 0.2)
-    }),
+    "sim_range_search" -> ((s, d) =>
+      scored(probeScored(s, d)).filter(col("cos") >= 0.2)),
 
     // Embedding near-dup: each vector's nearest neighbor within its label
     // block. Cosine rounded BEFORE ranking so ties break identically in
@@ -327,51 +331,9 @@ object Similarity extends QueryModule {
       ORDER BY cos DESC, vec_id LIMIT 10
     """,
 
-    "sim_ivf_topk" -> s"""
-      WITH cent AS (
-        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
-          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-          FROM embeddings, range(1, 65) t(i)
-          GROUP BY label, i)
-        GROUP BY label),
-      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
-      best AS (
-        SELECT cell FROM cent, probe
-        ORDER BY round(
-          list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
-          / (sqrt(${duckDot("p", "p")})
-             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
-          cell
-        LIMIT 1)
-      SELECT vec_id, label,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
-      FROM embeddings, probe, best
-      WHERE label = best.cell AND vec_id <> 0
-      ORDER BY cos DESC, vec_id LIMIT 5
-    """,
+    "sim_ivf_topk" -> duckIvf(nprobe = 1),
 
-    "sim_ivf_nprobe2" -> s"""
-      WITH cent AS (
-        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
-          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-          FROM embeddings, range(1, 65) t(i)
-          GROUP BY label, i)
-        GROUP BY label),
-      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
-      best AS (
-        SELECT cell FROM cent, probe
-        ORDER BY round(
-          list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
-          / (sqrt(${duckDot("p", "p")})
-             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
-          cell
-        LIMIT 2)
-      SELECT vec_id, label,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
-      FROM embeddings, probe, best
-      WHERE label = best.cell AND vec_id <> 0
-      ORDER BY cos DESC, vec_id LIMIT 5
-    """,
+    "sim_ivf_nprobe2" -> duckIvf(nprobe = 2),
 
     "sim_range_search" -> s"""
       WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

@@ -127,7 +127,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("cos")).collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse)
     val p1 = scores("sim_ivf_topk")
     val p2 = scores("sim_ivf_nprobe2")
-    assert(p1.length == p2.length)
+    // nprobe=2 searches a superset, so it returns at least as many rows
+    // and per-rank scores dominate (a bare length-equality would break on
+    // a fixture where the best cell holds < 5 vectors).
+    assert(p2.length >= p1.length,
+      s"nprobe=2 returned fewer rows (${p2.length}) than nprobe=1 (${p1.length})")
     p1.zip(p2).foreach { case (s1, s2) =>
       assert(s2 >= s1 - 1e-9, s"nprobe=2 rank score $s2 below nprobe=1 score $s1")
     }
