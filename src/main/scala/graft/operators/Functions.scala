@@ -53,6 +53,22 @@ object Functions extends QueryModule {
         to_date(date_format(od, "yyyyMMdd"), "yyyyMMdd").as("compact_roundtrip"))
     }),
 
+    // Sub-day time arithmetic: hour/minute/second extraction, epoch
+    // round-trips, second-granular diffs — the intraday complement of
+    // fn_date (the reference is day-granular; engine parity is not).
+    "fn_time" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("m"),
+        second(col("ts")).as("sec"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("epoch_roundtrip"),
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(date_trunc("DAY", col("ts")))).as("secs_into_day"),
+        (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"))
+    }),
+
     "fn_math" -> ((s, d) => {
       lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -181,6 +197,18 @@ object Functions extends QueryModule {
              CAST(strptime(strftime(CAST(o_orderdate AS DATE), '%Y%m%d'), '%Y%m%d') AS DATE)
                AS compact_roundtrip
       FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_time" -> """
+      SELECT event_id,
+             CAST(hour(ts) AS INT) AS h,
+             CAST(minute(ts) AS INT) AS m,
+             CAST(second(ts) AS INT) AS sec,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS epoch_roundtrip,
+             CAST(floor(epoch(ts)) - floor(epoch(date_trunc('day', ts))) AS BIGINT) AS secs_into_day,
+             ts + INTERVAL 90 MINUTE AS plus90m
+      FROM events ORDER BY event_id
     """,
 
     "fn_math" -> """

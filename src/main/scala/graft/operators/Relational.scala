@@ -194,6 +194,36 @@ object Relational extends QueryModule {
           r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
     }),
 
+    // Statistical aggregates: stddev/variance, correlation, covariance —
+    // all partial-aggregatable (sum/sum²/sum-of-products state), so they
+    // scale like any hash agg.
+    "agg_corr_stats" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r6(stddev_pop(col("l_quantity"))).as("sd_qty"),
+          r6(var_pop(col("l_quantity"))).as("var_qty"),
+          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          r6(covar_pop(col("l_discount"), col("l_tax"))).as("cov_disc_tax"))
+    }),
+
+    // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
+    // the SQL surface a reference user would reach for directly.
+    "join_exists_correlated" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_ec")
+      orders(s, d).createOrReplaceTempView("orders_ec")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer_ec c
+        WHERE EXISTS (SELECT 1 FROM orders_ec o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ec o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+      """)
+    }),
+
     // Pivot: long → wide reshape (one column per event type). Spark plans
     // this as a single hash agg with CASE-filtered partials — one shuffle
     // on the group key, never a per-pivot-value pass. Pivot values are
@@ -417,6 +447,25 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_corr_stats" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(stddev_pop(l_quantity), 6) AS sd_qty,
+             round(var_pop(l_quantity), 6) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_pop(l_discount, l_tax), 6) AS cov_disc_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+
+    "join_exists_correlated" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey
     """,
 
     "agg_pivot" -> """
