@@ -98,6 +98,21 @@ object Functions extends QueryModule {
         expr("~p_partkey").as("complement"))
     }),
 
+    // Encodings + digests over string/binary payloads: base64/hex
+    // round-trips and content digests (sha2 is also the dedup_exact key;
+    // digests of UTF-8 text bytes are engine-independent, unlike the
+    // banned engine hash builtins).
+    "fn_encode" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        lower(hex(col("p_brand").cast("binary"))).as("brand_hex"),
+        sha2(col("p_name"), 256).as("sha256"),
+        md5(col("p_name")).as("md5"),
+        bit_length(col("p_name")).as("bits"),
+        octet_length(col("p_name")).as("octets"))
+    }),
+
     // Array ops + higher-order functions over tokenized text.
     "fn_array" -> ((s, d) => {
       val tokens = split(col("text"), " ")
@@ -234,6 +249,17 @@ object Functions extends QueryModule {
              xor(p_partkey, 21845) AS xor_alt,
              CAST(bit_count(p_partkey) AS INT) AS popcount,
              ~p_partkey AS complement
+      FROM part ORDER BY p_partkey
+    """,
+
+    "fn_encode" -> """
+      SELECT p_partkey,
+             to_base64(CAST(p_name AS BLOB)) AS b64,
+             lower(hex(CAST(p_brand AS BLOB))) AS brand_hex,
+             sha256(p_name) AS sha256,
+             md5(p_name) AS md5,
+             CAST(bit_length(p_name) AS INT) AS bits,
+             CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS octets
       FROM part ORDER BY p_partkey
     """,
 

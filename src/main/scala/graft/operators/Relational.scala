@@ -194,6 +194,17 @@ object Relational extends QueryModule {
           r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
     }),
 
+    // Boolean aggregates: conditional counts and all/any predicates per
+    // group — trivially partial-aggregatable.
+    "agg_boolean" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count_if(value > 100)").as("n_high"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(value > 190)").as("any_extreme"))
+    }),
+
     // Statistical aggregates: stddev/variance, correlation, covariance —
     // all partial-aggregatable (sum/sum²/sum-of-products state), so they
     // scale like any hash agg.
@@ -446,6 +457,14 @@ object Relational extends QueryModule {
 
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_boolean" -> """
+      SELECT event_type,
+             count(*) FILTER (value > 100) AS n_high,
+             bool_and(value >= 0) AS all_nonneg,
+             bool_or(value > 190) AS any_extreme
       FROM events GROUP BY event_type ORDER BY event_type
     """,
 
