@@ -247,8 +247,13 @@ object Dedup extends QueryModule {
         .persist()
       val und = edges.union(edges.select(col("b_id"), col("a_id")))
         .toDF("src", "dst").persist()
+      // Each round references `labels` twice (self ∪ propagated), so an
+      // untruncated logical plan DOUBLES per round — by round ~8 even
+      // stringifying it OOMs. Eager localCheckpoint truncates lineage to
+      // the materialized blocks every round, keeping the plan O(1) in
+      // rounds (at cluster scale: checkpoint to reliable storage).
       var labels = und.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")).persist()
+        .withColumn("comp", col("id")).localCheckpoint(true)
       // Convergence scalar: component ids only ever DECREASE under
       // min-propagation, so Σcomp strictly decreases until the fixpoint —
       // one cheap aggregate per round instead of a change-detection join.
@@ -263,17 +268,11 @@ object Dedup extends QueryModule {
       while (newSum.isDefined && newSum != oldSum && round < 15) {
         val prop = und.join(labels, und("dst") === labels("id"))
           .select(und("src").as("id"), col("comp"))
-        val next = labels.union(prop)
+        labels = labels.union(prop)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .persist()
-        // Materialize next's cache BEFORE dropping the previous labels —
-        // next is built FROM them, and unpersisting first would recompute
-        // every prior round's lineage from scratch (quadratic blowup).
-        val prev = labels
-        labels = next
+          .localCheckpoint(true)
         oldSum = newSum
         newSum = compSum()
-        prev.unpersist()
         round += 1
       }
       // A silent non-converged exit would report one real cluster as two

@@ -45,6 +45,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("dedup_cluster_cc")(spark, dir).count() == 0)
   }
 
+  test("cc: a chain-shaped near-dup cluster collapses to ONE component (multi-hop propagation)") {
+    // Drifting-template chain: doc i holds tokens [3i, 3i+40) of a shared
+    // stream, so ADJACENT docs overlap heavily (Jaccard ≥ 0.8) while the
+    // chain's ends share almost nothing — only transitive propagation can
+    // unify them. Fixture clusters are shallow; this exercises depth.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_chain").toString
+    val base = (0 until 80).map(i => s"tok$i")
+    (0L until 8L).map { i =>
+      val text = base.slice(3 * i.toInt, 3 * i.toInt + 40).mkString(" ")
+      (i, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val comp = SparkEntry.queries("dedup_cluster_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comp.length == 8, s"all 8 chain docs must appear: ${comp.toSeq}")
+    assert(comp.forall(_._2 == 0L), s"single component rooted at doc 0: ${comp.toSeq}")
+    assert(comp.forall(_._3 == 8L), s"cluster_size 8 everywhere: ${comp.toSeq}")
+  }
+
   test("stratified sample: exactly min(20, |stratum|) per lang, stable across runs") {
     val s1 = SparkEntry.queries("sample_stratified")(spark, sf)
     val perLang = s1.groupBy(col("lang")).agg(count(lit(1)).as("k"))
