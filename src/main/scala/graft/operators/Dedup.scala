@@ -282,14 +282,16 @@ object Dedup extends QueryModule {
       // shallower.
       require(newSum == oldSum || newSum.isEmpty,
         s"dedup_cluster_cc did not converge within $round rounds")
-      // The loop's per-round aggregate has materialized `labels` into
-      // cache, so the candidate-stage inputs can be dropped now.
-      // edges/und/labels stay cached DELIBERATELY: the returned DataFrame
-      // is lazy, and its cache entry is only guaranteed materialized when
-      // the caller consumes it — an eager unpersist here forces the final
-      // action to recompute the whole candidate pipeline (measured 2× on
-      // this key). The residue is the pair graph only (ids, no text),
-      // bounded and session-scoped.
+      // The eager checkpoint makes final `labels` lineage-free, so the
+      // pair-graph caches are unreachable from the returned plan — but
+      // they stay registered DELIBERATELY: the CacheManager dedupes
+      // logically-identical subplans, so a repeat invocation (or any
+      // other near-dup query over the same corpus sharing the candidate
+      // stage) reuses them instead of recomputing the candidate pipeline
+      // (measured ~2× on warm re-runs). The residue is id pairs only, no
+      // text; reclaim with spark.catalog.clearCache() when done with a
+      // corpus. Intermediate rounds' checkpoint blocks (two long columns
+      // each) are released by the ContextCleaner once GC'd.
       val sized = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sized, "comp")
         .select(col("id").as("doc_id"), col("comp").as("component"),
