@@ -190,6 +190,17 @@ object Dedup extends QueryModule {
         .dropDuplicates("a_id", "b_id")
     }),
 
+    // Normalized exact dedup: canonicalize (lowercase, collapse runs of
+    // whitespace, trim) BEFORE hashing — catches trivially-reformatted
+    // copies that byte-exact dedup misses; still one hash shuffle.
+    "dedup_exact_normalized" -> ((s, d) => {
+      val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      documents(s, d)
+        .groupBy(sha2(canon, 256).as("canon_sha"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+    }),
+
     // Survivor selection: within each exact-dup group keep the "best"
     // copy (longest text, ties to the smallest id) — the keep-best policy
     // every real pipeline wants instead of keep-first. argmax via
@@ -349,6 +360,14 @@ object Dedup extends QueryModule {
           FROM pairs)
         WHERE jaccard >= 0.8
         ORDER BY a_id, b_id
+      """,
+
+      "dedup_exact_normalized" -> """
+        SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon_sha,
+               min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1
+        ORDER BY canonical_id
       """,
 
       "dedup_keep_best" -> """

@@ -166,6 +166,20 @@ object Functions extends QueryModule {
           .getField("k").as("k_schema"))
     }),
 
+    // Null-semantics surface: null-safe equality (<=>), IS DISTINCT FROM
+    // shape, null-aware conditionals — the semantics every join/dedup key
+    // silently depends on, made explicit. nullif plants NULLs to exercise.
+    "fn_null_semantics" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        nullif(col("event_type"), lit("error")).as("et_nullable"),
+        (nullif(col("event_type"), lit("error")) <=> lit("view")).as("nse_view"),
+        (nullif(col("event_type"), lit("error")) <=> nullif(col("event_type"), lit("error")))
+          .as("nse_self"),
+        nullif(col("event_type"), lit("error")).isNull.as("is_null"),
+        expr("nullif(event_type, 'error') IS DISTINCT FROM 'click'").as("idf_click"))
+    }),
+
     // CASE/coalesce/nullif/nvl2 — the `-` → 0 placeholder rule generalized.
     "fn_conditional" -> ((s, d) => {
       events(s, d).select(
@@ -300,6 +314,17 @@ object Functions extends QueryModule {
       SELECT event_id,
              TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
              TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
+      FROM events ORDER BY event_id
+    """,
+
+    "fn_null_semantics" -> """
+      SELECT event_id,
+             nullif(event_type, 'error') AS et_nullable,
+             nullif(event_type, 'error') IS NOT DISTINCT FROM 'view' AS nse_view,
+             nullif(event_type, 'error') IS NOT DISTINCT FROM nullif(event_type, 'error')
+               AS nse_self,
+             nullif(event_type, 'error') IS NULL AS is_null,
+             nullif(event_type, 'error') IS DISTINCT FROM 'click' AS idf_click
       FROM events ORDER BY event_id
     """,
 
