@@ -11,6 +11,43 @@ class PipelineOpsSpec extends AnyFunSuite {
   import SparkFixture._
   import T._
 
+  test("training-data pipeline composes end-to-end: filter → dedup → quality → sample") {
+    // The point of the operator inventory is that these stages CHAIN —
+    // one lazy plan from raw docs to a training shard, no materialization
+    // between stages, every stage an already-oracle-checked operator.
+    val sf01 = "/root/testdata/sf0.1" // dups exist at sf0.1
+    val docs = documents(spark, sf01)
+    // 1. language/quality whitelist (filter_media_whitelist shape)
+    val filtered = docs.filter(col("lang").isin("en", "de", "fr") && col("n_chars") >= 40)
+    // 2. exact dedup, keep-best survivor (dedup_keep_best shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256))
+      .orderBy(desc("n_chars"), col("doc_id"))
+    val deduped = filtered
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // 3. quality floor (text_quality_score shape: stopword-free docs out)
+    val toks = split(col("text"), " ")
+    val scored = deduped.withColumn("ttr",
+      size(array_distinct(toks)) / size(toks).cast("double"))
+    val quality = scored.filter(col("ttr") > 0.3)
+    // 4. deterministic stratified sample (sample_stratified shape)
+    val P = 2147483647L
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(expr(s"((doc_id % $P) * 1103515245 + 12345) % $P"), col("doc_id"))
+    val shard = quality.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= 100).drop("rk")
+    val out = shard.select(col("doc_id"), col("lang"), col("text")).collect()
+    assert(out.nonEmpty && out.length <= 300, s"got ${out.length}")
+    // survivors are unique by text, and each stratum is capped
+    assert(out.map(_.getString(2)).distinct.length == out.length, "dup text survived")
+    val perLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 100), s"stratum overflow: ${perLang.toMap}")
+    // and the whole thing re-runs to the identical shard (determinism)
+    val rerun = shard.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(rerun.toSeq == out.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("cc: every near-dup edge's endpoints land in the same component") {
     val comp = SparkEntry.queries("dedup_cluster_cc")(spark, sf)
       .select(col("doc_id"), col("component"))
