@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the driver RAW: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// the driver's json.loads of Bench's result line (BENCH_r01/r02 both
+// show "parsed": null with the complete JSON present in the stdout tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

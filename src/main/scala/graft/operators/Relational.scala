@@ -205,17 +205,37 @@ object Relational extends QueryModule {
           expr("bool_or(value > 190)").as("any_extreme"))
     }),
 
-    // Statistical aggregates: stddev/variance, correlation, covariance —
-    // all partial-aggregatable (sum/sum²/sum-of-products state), so they
-    // scale like any hash agg.
+    // Statistical aggregates: stddev/variance, correlation, covariance.
+    // Built from EXACT decimal moment sums (sum x, sum x², sum xy), not
+    // the double-state corr()/covar_pop() builtins: double partial-state
+    // merge order follows shuffle arrival order, so the last ulps differ
+    // run to run (the driver's r2 hash caught exactly that). Decimal sums
+    // are order-independent and still plain partial-aggregatable hash
+    // aggs, so the 100 TB scaling story is unchanged; the statistics are
+    // then derived in one deterministic double expression per group.
     "agg_corr_stats" -> ((s, d) => {
       lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,4)").as("q"),
+          col("l_extendedprice").cast("decimal(18,4)").as("p"),
+          col("l_discount").cast("decimal(18,4)").as("disc"),
+          col("l_tax").cast("decimal(18,4)").as("tax"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          r6(stddev_pop(col("l_quantity"))).as("sd_qty"),
-          r6(var_pop(col("l_quantity"))).as("var_qty"),
-          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
-          r6(covar_pop(col("l_discount"), col("l_tax"))).as("cov_disc_tax"))
+          sum(col("q")).as("sq"), sum(expr("q*q")).as("sqq"),
+          sum(col("p")).as("sp"), sum(expr("p*p")).as("spp"),
+          sum(expr("q*p")).as("sqp"),
+          sum(col("disc")).as("sdisc"), sum(col("tax")).as("stax"),
+          sum(expr("disc*tax")).as("sdt"))
+        .select(col("l_returnflag"), col("n"),
+          expr("round(sqrt(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n)), 6)").as("sd_qty"),
+          expr("round(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n), 6)").as("var_qty"),
+          expr("""round((cast(sqp as double)/n - (cast(sq as double)/n)*(cast(sp as double)/n))
+                  / (sqrt(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n))
+                     * sqrt(cast(spp as double)/n - (cast(sp as double)/n)*(cast(sp as double)/n))), 6)""")
+            .as("corr_qty_price"),
+          expr("round(cast(sdt as double)/n - (cast(sdisc as double)/n)*(cast(stax as double)/n), 6)")
+            .as("cov_disc_tax"))
     }),
 
     // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
@@ -469,12 +489,25 @@ object Relational extends QueryModule {
     """,
 
     "agg_corr_stats" -> """
-      SELECT l_returnflag, count(*) AS n,
-             round(stddev_pop(l_quantity), 6) AS sd_qty,
-             round(var_pop(l_quantity), 6) AS var_qty,
-             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-             round(covar_pop(l_discount, l_tax), 6) AS cov_disc_tax
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(19,4))) AS sq,
+               sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sqq,
+               sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sp,
+               sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS spp,
+               sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sqp,
+               sum(CAST(l_discount AS DECIMAL(19,4))) AS sdisc,
+               sum(CAST(l_tax AS DECIMAL(19,4))) AS stax,
+               sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS sdt
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round(sqrt(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n)), 6) AS sd_qty,
+             round(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n), 6) AS var_qty,
+             round((CAST(sqp AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sp AS DOUBLE)/n))
+                   / (sqrt(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n))
+                      * sqrt(CAST(spp AS DOUBLE)/n - (CAST(sp AS DOUBLE)/n)*(CAST(sp AS DOUBLE)/n))), 6) AS corr_qty_price,
+             round(CAST(sdt AS DOUBLE)/n - (CAST(sdisc AS DOUBLE)/n)*(CAST(stax AS DOUBLE)/n), 6) AS cov_disc_tax
+      FROM m ORDER BY l_returnflag
     """,
 
     "join_exists_correlated" -> """

@@ -81,17 +81,31 @@ object TextAnalysis extends QueryModule {
     // Language ID: marker-token voting with a deterministic CASE-order
     // tie-break; emits the winning lang and its score per document.
     "text_lang_id" -> ((s, d) => {
-      val scored = documents(s, d).select(
-        (col("doc_id") +: col("lang").as("actual_lang") +:
-          markers.map { case (l, ts) => expr(sparkScore(ts)).as(s"s_$l") }): _*)
-      val langs = markers.map(_._1)
-      val pred = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $rest THEN '$l'"
-      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-      val score = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      scored.select(col("doc_id"), col("actual_lang"),
-          expr(pred).as("pred_lang"), expr(score).as("pred_score"))
+      // One JIT'd token pass per document via typed mapPartitions. The
+      // expression form (5 HOF `filter` lambdas) is interpreted, and
+      // CollapseProject re-tokenizes the text once PER marker set — the
+      // round-1 trap again; this was the slowest key in the r2 bench.
+      // The oracle's CASE tie-break ("first lang ≥ all later langs") is
+      // exactly "first index achieving the max", proven: any earlier lang
+      // that failed is strictly below some later score, hence below max.
+      import s.implicits._
+      val langNames = markers.map(_._1).toArray
+      val markerSets = markers.map(_._2.toSet).toArray
+      documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, text) =>
+          val scores = new Array[Int](markerSets.length)
+          text.split(" ", -1).foreach { t =>
+            var i = 0
+            while (i < markerSets.length) {
+              if (markerSets(i)(t)) scores(i) += 1
+              i += 1
+            }
+          }
+          val max = scores.max
+          (id, lang, langNames(scores.indexOf(max)), max)
+        })
+        .toDF("doc_id", "actual_lang", "pred_lang", "pred_score")
     }),
 
     // Quality scoring: length, stopword ratio, type-token ratio, mean
