@@ -83,6 +83,36 @@ object Functions extends QueryModule {
         r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
     }),
 
+    // Regexp family: group extraction, match counting, boolean match,
+    // backreference swap, regex split. Patterns stay POSIX-simple — Spark
+    // compiles Java regex, DuckDB RE2; fancy syntax (lookahead, \b)
+    // diverges. Backreference dialect differs ($1 vs \1) but semantics
+    // are identical, handled on each side's SQL.
+    "fn_regexp" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+        expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+        col("p_name").rlike("^[a-f]").as("starts_af"),
+        regexp_replace(col("p_name"), "^([a-z]+) ([a-z]+)$", "$2 $1").as("swapped"),
+        size(split(col("p_type"), "\\s+")).as("n_type_tokens"))
+    }),
+
+    // Trig/transcendental family. Both engines are libm-accurate (≤1 ulp);
+    // r6 absorbs the cross-library ulp — same policy as every float key.
+    "fn_trig" -> ((s, d) => {
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        r6(sin(col("l_quantity"))).as("sin_q"),
+        r6(cos(col("l_discount") * 10)).as("cos_d"),
+        r6(tan(col("l_tax"))).as("tan_t"),
+        r6(atan2(col("l_tax"), col("l_discount") + 0.01)).as("atan2_td"),
+        r6(degrees(atan(col("l_quantity") / 50.0))).as("deg_atan"),
+        r6(radians(col("l_quantity"))).as("rad_q"),
+        r6(exp(col("l_discount"))).as("exp_d"),
+        r6(expr("cbrt(l_quantity)")).as("cbrt_q"))
+    }),
+
     // Bitwise family: shifts, and/or/xor, popcount, complement — the ops
     // behind every banded-LSH/bucketing trick in the dedup suite, covered
     // as first-class scalars.
@@ -251,6 +281,29 @@ object Functions extends QueryModule {
              l_orderkey % 7 AS key_mod7,
              round(greatest(l_tax, l_discount), 6) AS max_rate,
              round(least(l_tax, l_discount), 6) AS min_rate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "fn_regexp" -> """
+      SELECT p_partkey,
+             CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+             regexp_matches(p_name, '^[a-f]') AS starts_af,
+             regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '\2 \1') AS swapped,
+             CAST(len(regexp_split_to_array(p_type, '\s+')) AS INT) AS n_type_tokens
+      FROM part ORDER BY p_partkey
+    """,
+
+    "fn_trig" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(sin(l_quantity), 6) AS sin_q,
+             round(cos(l_discount * 10), 6) AS cos_d,
+             round(tan(l_tax), 6) AS tan_t,
+             round(atan2(l_tax, l_discount + 0.01), 6) AS atan2_td,
+             round(degrees(atan(l_quantity / 50.0)), 6) AS deg_atan,
+             round(radians(l_quantity), 6) AS rad_q,
+             round(exp(l_discount), 6) AS exp_d,
+             round(cbrt(l_quantity), 6) AS cbrt_q
       FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 

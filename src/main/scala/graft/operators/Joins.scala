@@ -153,6 +153,34 @@ object Joins extends QueryModule {
     "join_cross_small" -> ((s, d) => {
       region(s, d).select(col("r_name"))
         .crossJoin(nation(s, d).select(col("n_name")))
+    }),
+
+    // Bucketed co-located fact-fact join as a first-class key: both sides
+    // bucketed+sorted on the join key at write time, so the SMJ consumes
+    // bucket i ⨝ bucket i with ZERO exchange on the join keys (plan
+    // asserted in BucketSpec). At 100 TB this is THE fact-fact join
+    // design — the shuffle is paid once at layout time, then every join
+    // on that key is exchange-free. Bucketed tables are written once per
+    // sf under /tmp and re-registered per session; MERGE hint keeps the
+    // bucket-aware SMJ even when one side would broadcast at test scale.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_buckets_$tag"
+      def ensure(name: String, key: String)(build: => DataFrame): Unit =
+        if (!s.catalog.tableExists(name))
+          build.write.format("parquet").mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name").saveAsTable(name)
+      val lt = s"li_bkt_$tag"; val ot = s"ord_bkt_$tag"
+      ensure(lt, "l_orderkey")(lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+      ensure(ot, "o_orderkey")(orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")))
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
     })
   )
 
@@ -234,6 +262,13 @@ object Joins extends QueryModule {
     "join_cross_small" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation
       ORDER BY r_name, n_name
+    """,
+
+    "join_bucketed_colocated" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
   )
 }

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
 object Relational extends QueryModule {
   import T._
 
+  /** Exact integer power sums Σx..Σx⁴ (x integral) as DECIMAL(38,0):
+    * order-independent partial aggregation, overflow-proof at any scale;
+    * the sums stay < 2^53 so the later double conversion is exact.
+    */
+  private def powerSums(x: String) = Seq(
+    sum(expr(s"CAST($x AS DECIMAL(38,0))")).as(s"s1_$x"),
+    sum(expr(s"CAST($x*$x AS DECIMAL(38,0))")).as(s"s2_$x"),
+    sum(expr(s"CAST($x*$x*$x AS DECIMAL(38,0))")).as(s"s3_$x"),
+    sum(expr(s"CAST($x*$x*$x*$x AS DECIMAL(38,0))")).as(s"s4_$x"))
+
+  /** Skewness/kurtosis select-expressions over `powerSums` columns. The
+    * SAME text runs as Spark selectExpr and inside the DuckDB oracle, so
+    * both engines execute the identical IEEE double expression over
+    * identical exact integer inputs — bit-equal before rounding.
+    */
+  private def momentStats(x: String, out: String): Seq[String] = {
+    val m  = s"(CAST(s1_$x AS DOUBLE)/n)"
+    val a2 = s"(CAST(s2_$x AS DOUBLE)/n)"
+    val a3 = s"(CAST(s3_$x AS DOUBLE)/n)"
+    val a4 = s"(CAST(s4_$x AS DOUBLE)/n)"
+    val m2 = s"($a2 - $m*$m)"
+    Seq(
+      s"round(($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2), 6) AS skew_$out",
+      s"round(($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3, 6) AS kurt_$out")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -194,6 +220,19 @@ object Relational extends QueryModule {
           r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
     }),
 
+    // Median + discrete percentiles: `median` is interpolating (DuckDB
+    // quantile_cont — its bare `median` on even groups returns the lower
+    // middle, a dialect trap), `percentile_disc` picks the smallest value
+    // whose cume_dist ≥ p in both engines.
+    "agg_median" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("median(value)")).as("med_value"),
+          r6(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")).as("p25_disc"),
+          r6(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")).as("p75_disc"))
+    }),
+
     // Boolean aggregates: conditional counts and all/any predicates per
     // group — trivially partial-aggregatable.
     "agg_boolean" -> ((s, d) => {
@@ -236,6 +275,26 @@ object Relational extends QueryModule {
             .as("corr_qty_price"),
           expr("round(cast(sdt as double)/n - (cast(sdisc as double)/n)*(cast(stax as double)/n), 6)")
             .as("cov_disc_tax"))
+    }),
+
+    // Skewness / kurtosis from integer power sums: quantity is integral
+    // and discount is 2-decimal (cents), so Σx..Σx⁴ are EXACT integer
+    // partial sums (same order-independence argument as agg_corr_stats —
+    // the skewness()/kurtosis() builtins carry double state merged in
+    // shuffle order). Both statistics are scale-invariant, so cents give
+    // the same value as raw discounts. The moment formula text is shared
+    // verbatim with the oracle (momentStats), so both engines run the
+    // identical IEEE expression over identical exact inputs.
+    "agg_skew_kurt" -> ((s, d) => {
+      val aggs = count(lit(1)).as("n") +: (powerSums("q") ++ powerSums("c"))
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("q"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(("l_returnflag" +: "n" +:
+          (momentStats("q", "qty") ++ momentStats("c", "disc"))): _*)
     }),
 
     // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
@@ -388,6 +447,35 @@ object Relational extends QueryModule {
       val b = e.filter(day(col("ts")) > lit(java.sql.Date.valueOf("2024-01-15")))
         .select(col("user_id"), col("event_type"))
       a.except(b)
+    }),
+
+    // Multiset (bag) set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // multiplicities — planned as hash aggregates over count deltas, not
+    // row-pairing; one shuffle each, same as distinct set ops.
+    "setop_multiset" -> ((s, d) => {
+      val e = events(s, d)
+      val a = e.filter(col("value") < 100).select(col("user_id"), col("event_type"))
+      val b = e.filter(col("value") < 50).select(col("user_id"), col("event_type"))
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
+
+    // Partition-pruned scan: date-partitioned at-rest layout (the 100 TB
+    // events table shape), read back with a day-range predicate — the
+    // filter lands in PartitionFilters, so non-matching days are never
+    // listed, let alone read. The partitioned copy is written once per sf
+    // into /tmp and reused; the oracle aggregates the raw table.
+    "scan_partition_pruned" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_events_by_day_$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        events(s, d).withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day").between(lit(java.sql.Date.valueOf("2024-01-05")),
+          lit(java.sql.Date.valueOf("2024-01-09"))))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
     })
   )
 
@@ -577,6 +665,32 @@ object Relational extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 
+    "agg_skew_kurt" -> s"""
+      WITH b AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS c
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(q) AS s1_q, sum(q*q) AS s2_q,
+               sum(q*q*q) AS s3_q, sum(q*q*q*q) AS s4_q,
+               sum(c) AS s1_c, sum(c*c) AS s2_c,
+               sum(c*c*c) AS s3_c, sum(c*c*c*c) AS s4_c
+        FROM b GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             ${momentStats("q", "qty").mkString(",\n             ")},
+             ${momentStats("c", "disc").mkString(",\n             ")}
+      FROM m ORDER BY l_returnflag
+    """,
+
+    "agg_median" -> """
+      SELECT event_type, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS med_value,
+             round(quantile_disc(value, 0.25), 6) AS p25_disc,
+             round(quantile_disc(value, 0.75), 6) AS p75_disc
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
     "agg_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              round(sum(l_quantity), 4) AS sum_qty,
@@ -651,6 +765,26 @@ object Relational extends QueryModule {
       SELECT user_id, event_type FROM events
         WHERE CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
       ORDER BY user_id, event_type
+    """,
+
+    "setop_multiset" -> """
+      WITH a AS (SELECT user_id, event_type FROM events WHERE value < 100),
+           b AS (SELECT user_id, event_type FROM events WHERE value < 50)
+      SELECT *, 'except_all' AS op FROM (
+        SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT *, 'intersect_all' AS op FROM (
+        SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      ORDER BY op, user_id, event_type
+    """,
+
+    "scan_partition_pruned" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+              BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+      GROUP BY 1, 2 ORDER BY 1, 2
     """
   )
 }

@@ -96,6 +96,23 @@ object Windows extends QueryModule {
           (col("n") - lag(col("n"), 1).over(w)).as("delta"))
     }),
 
+    // Value-range frame over a NUMERIC order key (win_trailing_30d covers
+    // time ranges): all events within 10.0 of this event's value, per
+    // type. Peer rows are in-frame by definition, so ties are
+    // deterministic; the banded sum runs over exact integer centi-values
+    // because windowed double accumulation order differs per engine.
+    "win_range_numeric" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .select(col("event_id"), col("value"),
+          expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
+                  RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""").as("band_n"),
+          r2(expr("""sum(vc) OVER (PARTITION BY event_type ORDER BY value
+                     RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""") / 100.0)
+            .as("band_sum"))
+    }),
+
     // first_value/last_value with an explicit full-partition frame (the
     // default frame stops at CURRENT ROW — the classic last_value trap).
     "win_first_last" -> ((s, d) => {
@@ -171,6 +188,17 @@ object Windows extends QueryModule {
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
       ORDER BY event_type, day
     """),
+
+    "win_range_numeric" -> """
+      SELECT event_id, value,
+             CAST(count(*) OVER w AS BIGINT) AS band_n,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2)
+               AS band_sum
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """,
 
     "win_first_last" -> """
       SELECT o_orderstatus, o_orderkey,

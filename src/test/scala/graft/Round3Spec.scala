@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 keys: deterministic moment stats, median/disc percentiles,
+  * numeric range frames, multiset set ops, partition-pruned scans,
+  * bucketed co-located join, regexp/trig families, and the mapPartitions
+  * lang-ID rewrite (checked against its expression-form predecessor).
+  */
+class Round3Spec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("agg_skew_kurt matches the builtin skewness/kurtosis to 1e-6") {
+    val ours = q("agg_skew_kurt")
+      .select("l_returnflag", "skew_qty", "kurt_qty").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = T.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"), kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.foreach { case (k, (sk, ku)) =>
+      assert(math.abs(ours(k)._1 - sk) < 1e-6, s"skew mismatch for $k")
+      assert(math.abs(ours(k)._2 - ku) < 1e-6, s"kurt mismatch for $k")
+    }
+  }
+
+  test("agg_median med_value equals exact percentile 0.5") {
+    val med = q("agg_median").select("event_type", "med_value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = T.events(spark, sf).groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med == ref)
+  }
+
+  test("win_range_numeric band matches a brute-force per-partition scan") {
+    val got = q("win_range_numeric").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rows = T.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    rows.groupBy(_._2).foreach { case (_, part) =>
+      part.foreach { case (id, _, v) =>
+        val band = part.filter(p => p._3 >= v - 10.0 && p._3 <= v)
+        val n = band.length.toLong
+        val s = band.map(p => math.round(p._3 * 100)).sum / 100.0
+        assert(got(id)._1 == n, s"band_n mismatch for event $id")
+        assert(math.abs(got(id)._2 - s) < 1e-9, s"band_sum mismatch for event $id")
+      }
+    }
+  }
+
+  test("setop_multiset respects bag algebra: |A| = |A except all B| + |A intersect all B|") {
+    val e = T.events(spark, sf)
+    val nA = e.filter(col("value") < 100).count()
+    val byOp = q("setop_multiset").groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("except_all") + byOp("intersect_all") == nA)
+    // B ⊆ A here (value<50 implies value<100), so intersect-all keeps all of B.
+    assert(byOp("intersect_all") == e.filter(col("value") < 50).count())
+  }
+
+  test("scan_partition_pruned prunes partitions and matches the raw-table aggregate") {
+    val df = q("scan_partition_pruned")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in:\n$p")
+    assert(p.contains("day#"), s"day not a partition filter column:\n$p")
+    val raw = T.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day").between("2024-01-05", "2024-01-09"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    assert(df.orderBy("day", "event_type").collect().toSeq ==
+      raw.orderBy("day", "event_type").collect().toSeq)
+  }
+
+  test("join_bucketed_colocated equals the plain join") {
+    val plain = T.lineitem(spark, sf)
+      .join(T.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    assert(q("join_bucketed_colocated").orderBy("o_orderpriority").collect().toSeq ==
+      plain.orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("fn_regexp spot row") {
+    val r = q("fn_regexp").filter(col("swapped") =!= col("p_partkey").cast("string"))
+      .orderBy("p_partkey").limit(1).collect().head
+    // 'cold widget' → brand parsed, vowels counted, two-word swap applied
+    assert(r.getAs[Int]("n_type_tokens") >= 1)
+    assert(r.getAs[String]("swapped").split(" ").length >= 1)
+  }
+
+  test("fn_trig sin/cbrt sanity on integral quantities") {
+    val r = q("fn_trig").filter(col("l_orderkey") === 1 && col("l_linenumber") === 1)
+      .collect()
+    if (r.nonEmpty) {
+      val q0 = T.lineitem(spark, sf)
+        .filter(col("l_orderkey") === 1 && col("l_linenumber") === 1)
+        .select("l_quantity").collect().head.getDouble(0)
+      assert(math.abs(r.head.getAs[Double]("sin_q")
+        - BigDecimal(math.sin(q0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("text_lang_id mapPartitions rewrite equals the expression form") {
+    import spark.implicits._
+    val got = q("text_lang_id").as[(Long, String, String, Int)].collect().sortBy(_._1)
+    // Reference: the original HOF formulation, evaluated directly.
+    val markers = Seq(
+      "de" -> Seq("der", "und", "das", "nicht"),
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "los", "una", "que"),
+      "fr" -> Seq("le", "et", "les", "dans"),
+      "zh" -> Seq("shi", "bu", "wo", "zhe"))
+    val ref = T.documents(spark, sf).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+      .map { case (id, lang, text) =>
+        val toks = text.split(" ", -1)
+        val scores = markers.map { case (_, ts) => toks.count(ts.toSet) }
+        val max = scores.max
+        (id, lang, markers(scores.indexOf(max))._1, max)
+      }
+    assert(got.toSeq == ref.toSeq)
+  }
+}
