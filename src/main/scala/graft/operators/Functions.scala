@@ -83,6 +83,27 @@ object Functions extends QueryModule {
         r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
     }),
 
+    // Array set algebra over token slices: union/intersect/except +
+    // membership position. Results are scalarized (sizes + sorted joined
+    // strings) — the driver compare can't hash array columns. Dialect:
+    // Spark's array_* dedup like DuckDB's list_distinct forms, but
+    // element ORDER differs → sort_array/list_sort before joining;
+    // Spark array_position returns 0 for missing, DuckDB NULL → coalesce.
+    "fn_array_setops" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+          slice(toks, 1, 10).as("a"), slice(toks, 6, 10).as("b"),
+          array_position(toks, "the").as("pos_the"))
+        .select(col("doc_id"),
+          size(array_union(col("a"), col("b"))).as("n_union"),
+          size(array_intersect(col("a"), col("b"))).as("n_intersect"),
+          size(array_except(col("a"), col("b"))).as("n_except"),
+          concat_ws(",", sort_array(array_intersect(col("a"), col("b"))))
+            .as("inter_str"),
+          col("pos_the"))
+    }),
+
     // Regexp family: group extraction, match counting, boolean match,
     // backreference swap, regex split. Patterns stay POSIX-simple — Spark
     // compiles Java regex, DuckDB RE2; fancy syntax (lookahead, \b)
@@ -282,6 +303,23 @@ object Functions extends QueryModule {
              round(greatest(l_tax, l_discount), 6) AS max_rate,
              round(least(l_tax, l_discount), 6) AS min_rate
       FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "fn_array_setops" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ab AS (
+        SELECT doc_id, list_slice(toks, 1, 10) AS a, list_slice(toks, 6, 15) AS b,
+               coalesce(list_position(toks, 'the'), 0) AS pos_the
+        FROM t)
+      SELECT doc_id,
+             CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+             CAST(len(list_intersect(a, b)) AS INT) AS n_intersect,
+             CAST(len(list_filter(list_distinct(a),
+                    x -> NOT list_contains(b, x))) AS INT) AS n_except,
+             array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_str,
+             CAST(pos_the AS BIGINT) AS pos_the
+      FROM ab ORDER BY doc_id
     """,
 
     "fn_regexp" -> """

@@ -47,6 +47,20 @@ object Relational extends QueryModule {
       s"round(($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3, 6) AS kurt_$out")
   }
 
+  /** agg_corr_stats select-expressions over its integer moment sums —
+    * shared verbatim between Spark selectExpr and the DuckDB oracle.
+    */
+  private def corrStats: Seq[String] = {
+    def m(x: String)  = s"(CAST(s_$x AS DOUBLE)/n)"
+    val varQ  = s"(${m("qq")} - ${m("q")}*${m("q")})"
+    val varPc = s"(${m("pp")} - ${m("pc")}*${m("pc")})"
+    Seq(
+      s"round(sqrt($varQ), 6) AS sd_qty",
+      s"round($varQ, 6) AS var_qty",
+      s"round((${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc)), 6) AS corr_qty_price",
+      s"round((${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0, 6) AS cov_disc_tax")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -245,36 +259,29 @@ object Relational extends QueryModule {
     }),
 
     // Statistical aggregates: stddev/variance, correlation, covariance.
-    // Built from EXACT decimal moment sums (sum x, sum x², sum xy), not
-    // the double-state corr()/covar_pop() builtins: double partial-state
-    // merge order follows shuffle arrival order, so the last ulps differ
-    // run to run (the driver's r2 hash caught exactly that). Decimal sums
-    // are order-independent and still plain partial-aggregatable hash
-    // aggs, so the 100 TB scaling story is unchanged; the statistics are
-    // then derived in one deterministic double expression per group.
+    // Built from EXACT integer moment sums (same design as agg_skew_kurt;
+    // quantity is integral, price/discount/tax are 2-decimal → cents),
+    // not the double-state corr()/covar_pop() builtins: double
+    // partial-state merge order follows shuffle arrival order, so the
+    // last ulps differ run to run (the driver's r2 hash caught exactly
+    // that). Per-row products fit BIGINT; sums go DECIMAL(38,0)
+    // (overflow-proof at any scale, still plain partial-aggregatable
+    // hash aggs). corr is scale-invariant so cents need no rescale;
+    // covar rescales by 1/10⁴. The formula text is shared verbatim with
+    // the oracle (corrStats) → bit-identical doubles before rounding.
     "agg_corr_stats" -> ((s, d) => {
+      val sums = Seq("q" -> "q", "qq" -> "q*q", "pc" -> "pc", "pp" -> "pc*pc",
+        "qp" -> "q*pc", "dc" -> "dc", "tc" -> "tc", "dt" -> "dc*tc")
+        .map { case (nm, e) => sum(expr(s"CAST($e AS DECIMAL(38,0))")).as(s"s_$nm") }
       lineitem(s, d)
         .select(col("l_returnflag"),
-          col("l_quantity").cast("decimal(18,4)").as("q"),
-          col("l_extendedprice").cast("decimal(18,4)").as("p"),
-          col("l_discount").cast("decimal(18,4)").as("disc"),
-          col("l_tax").cast("decimal(18,4)").as("tax"))
+          col("l_quantity").cast("bigint").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tc"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("q")).as("sq"), sum(expr("q*q")).as("sqq"),
-          sum(col("p")).as("sp"), sum(expr("p*p")).as("spp"),
-          sum(expr("q*p")).as("sqp"),
-          sum(col("disc")).as("sdisc"), sum(col("tax")).as("stax"),
-          sum(expr("disc*tax")).as("sdt"))
-        .select(col("l_returnflag"), col("n"),
-          expr("round(sqrt(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n)), 6)").as("sd_qty"),
-          expr("round(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n), 6)").as("var_qty"),
-          expr("""round((cast(sqp as double)/n - (cast(sq as double)/n)*(cast(sp as double)/n))
-                  / (sqrt(cast(sqq as double)/n - (cast(sq as double)/n)*(cast(sq as double)/n))
-                     * sqrt(cast(spp as double)/n - (cast(sp as double)/n)*(cast(sp as double)/n))), 6)""")
-            .as("corr_qty_price"),
-          expr("round(cast(sdt as double)/n - (cast(sdisc as double)/n)*(cast(stax as double)/n), 6)")
-            .as("cov_disc_tax"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .selectExpr(("l_returnflag" +: "n" +: corrStats): _*)
     }),
 
     // Skewness / kurtosis from integer power sums: quantity is integral
@@ -576,25 +583,22 @@ object Relational extends QueryModule {
       FROM events GROUP BY event_type ORDER BY event_type
     """,
 
-    "agg_corr_stats" -> """
-      WITH m AS (
+    "agg_corr_stats" -> s"""
+      WITH b AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc,
+               CAST(round(l_tax * 100) AS BIGINT) AS tc
+        FROM lineitem),
+      m AS (
         SELECT l_returnflag, count(*) AS n,
-               sum(CAST(l_quantity AS DECIMAL(19,4))) AS sq,
-               sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sqq,
-               sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sp,
-               sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS spp,
-               sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sqp,
-               sum(CAST(l_discount AS DECIMAL(19,4))) AS sdisc,
-               sum(CAST(l_tax AS DECIMAL(19,4))) AS stax,
-               sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS sdt
-        FROM lineitem GROUP BY l_returnflag)
+               sum(q) AS s_q, sum(q*q) AS s_qq,
+               sum(pc) AS s_pc, sum(pc*pc) AS s_pp,
+               sum(q*pc) AS s_qp,
+               sum(dc) AS s_dc, sum(tc) AS s_tc, sum(dc*tc) AS s_dt
+        FROM b GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-             round(sqrt(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n)), 6) AS sd_qty,
-             round(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n), 6) AS var_qty,
-             round((CAST(sqp AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sp AS DOUBLE)/n))
-                   / (sqrt(CAST(sqq AS DOUBLE)/n - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n))
-                      * sqrt(CAST(spp AS DOUBLE)/n - (CAST(sp AS DOUBLE)/n)*(CAST(sp AS DOUBLE)/n))), 6) AS corr_qty_price,
-             round(CAST(sdt AS DOUBLE)/n - (CAST(sdisc AS DOUBLE)/n)*(CAST(stax AS DOUBLE)/n), 6) AS cov_disc_tax
+             ${corrStats.mkString(",\n             ")}
       FROM m ORDER BY l_returnflag
     """,
 

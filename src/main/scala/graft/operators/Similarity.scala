@@ -265,6 +265,20 @@ object Similarity extends QueryModule {
     // (real image/audio libs are out of scope); the distributed plumbing —
     // binary column, typed Dataset, per-partition batching, schema of the
     // feature output — is real and oracle-checked byte-for-byte.
+    // Fixed-size chunking of opaque binary payloads — the split step
+    // every audio/video ingest does before parallel decode (one task per
+    // chunk at 100 TB). Pure map-side generate+explode: no shuffle, and
+    // chunk rows carry (offset, length) metadata only, never payload
+    // copies.
+    "multimodal_chunks" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("byte_len"))
+        .select(col("doc_id"), col("byte_len"),
+          explode(expr("sequence(0, byte_len - 1, 64)")).as("off"))
+        .select(col("doc_id"), col("off"),
+          least(lit(64), col("byte_len") - col("off")).as("chunk_len"))
+    }),
+
     "multimodal_binary" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
@@ -381,6 +395,15 @@ object Similarity extends QueryModule {
       FROM documents JOIN embeddings ON doc_id = vec_id
       WHERE lang IN ('en', 'de') AND label < 5
       ORDER BY doc_id
+    """,
+
+    "multimodal_chunks" -> """
+      SELECT doc_id, CAST(off AS INT) AS off,
+             CAST(least(64, length(text) - off) AS INT) AS chunk_len
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 1, 64)) AS off
+            FROM documents)
+      ORDER BY doc_id, off
     """,
 
     "multimodal_binary" -> """

@@ -217,6 +217,27 @@ object TextAnalysis extends QueryModule {
     // mapPartitions for the same reason as the Dedup signatures (HOF char
     // folds are interpreted — 9 s for this key at sf0.1 vs <1 s JIT'd);
     // arithmetic matches the DuckDB oracle fragment exactly.
+    // Vocabulary coverage curve (Zipf head analysis): what share of all
+    // corpus tokens do the top-k vocabulary entries cover — the question
+    // behind every vocab-truncation / tokenizer-budget decision. Corpus
+    // total is a broadcast 1-row cross join; the running share windows
+    // over only the top-30 rows (TakeOrdered output), never the full
+    // vocabulary.
+    "text_zipf_coverage" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val total = tf.agg(sum(col("tf")).as("total"))
+      val top = tf.orderBy(desc("tf"), col("token")).limit(30)
+      val w = Window.orderBy(desc("tf"), col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .select(
+          row_number().over(Window.orderBy(desc("tf"), col("token"))).as("rank"),
+          col("token"), col("tf"),
+          r6(sum(col("tf")).over(w) / col("total")).as("cum_share"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       val p = P
@@ -353,6 +374,21 @@ object TextAnalysis extends QueryModule {
                regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
                               '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         FROM raw ORDER BY doc_id
+      """,
+
+      "text_zipf_coverage" -> """
+        WITH tf AS (
+          SELECT token, count(*) AS tf
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token),
+        top AS (
+          SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank
+          FROM tf ORDER BY tf DESC, token LIMIT 30)
+        SELECT CAST(rank AS INT) AS rank, token, tf,
+               round(CAST(sum(tf) OVER (ORDER BY tf DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / (SELECT CAST(sum(tf) AS DOUBLE) FROM tf), 6) AS cum_share
+        FROM top ORDER BY rank
       """,
 
       "text_fingerprint" -> s"""

@@ -97,18 +97,23 @@ object Windows extends QueryModule {
     }),
 
     // Value-range frame over a NUMERIC order key (win_trailing_30d covers
-    // time ranges): all events within 10.0 of this event's value, per
-    // type. Peer rows are in-frame by definition, so ties are
-    // deterministic; the banded sum runs over exact integer centi-values
-    // because windowed double accumulation order differs per engine.
+    // time ranges): all purchases within 10.0 of this purchase's value.
+    // Peer rows are in-frame by definition, so ties are deterministic;
+    // the banded sum runs over exact integer centi-values because
+    // windowed double accumulation order differs per engine. Scoped to
+    // one event_type: Spark evaluates sliding frames by recomputing the
+    // aggregate per row (no retraction), so cost is O(rows × frame) —
+    // the scale formulation for wide bands is a bucketed self-join
+    // (join_theta_range), not a window.
     "win_range_numeric" -> ((s, d) => {
       events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"),
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"),
           expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
         .select(col("event_id"), col("value"),
-          expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
+          expr("""count(*) OVER (ORDER BY value
                   RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""").as("band_n"),
-          r2(expr("""sum(vc) OVER (PARTITION BY event_type ORDER BY value
+          r2(expr("""sum(vc) OVER (ORDER BY value
                      RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""") / 100.0)
             .as("band_sum"))
     }),
@@ -195,7 +200,8 @@ object Windows extends QueryModule {
              round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2)
                AS band_sum
       FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY value
+      WHERE event_type = 'purchase'
+      WINDOW w AS (ORDER BY value
                    RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)
       ORDER BY event_id
     """,

@@ -36,20 +36,19 @@ class Round3Spec extends AnyFunSuite {
     assert(med == ref)
   }
 
-  test("win_range_numeric band matches a brute-force per-partition scan") {
+  test("win_range_numeric band matches a brute-force scan") {
     val got = q("win_range_numeric").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
-    val rows = T.events(spark, sf)
-      .select("event_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    rows.groupBy(_._2).foreach { case (_, part) =>
-      part.foreach { case (id, _, v) =>
-        val band = part.filter(p => p._3 >= v - 10.0 && p._3 <= v)
-        val n = band.length.toLong
-        val s = band.map(p => math.round(p._3 * 100)).sum / 100.0
-        assert(got(id)._1 == n, s"band_n mismatch for event $id")
-        assert(math.abs(got(id)._2 - s) < 1e-9, s"band_sum mismatch for event $id")
-      }
+    val part = T.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    part.foreach { case (id, v) =>
+      val band = part.filter(p => p._2 >= v - 10.0 && p._2 <= v)
+      val n = band.length.toLong
+      val s = band.map(p => math.round(p._2 * 100)).sum / 100.0
+      assert(got(id)._1 == n, s"band_n mismatch for event $id")
+      assert(math.abs(got(id)._2 - s) < 1e-9, s"band_sum mismatch for event $id")
     }
   }
 
@@ -105,6 +104,37 @@ class Round3Spec extends AnyFunSuite {
       assert(math.abs(r.head.getAs[Double]("sin_q")
         - BigDecimal(math.sin(q0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
+  }
+
+  test("fn_array_setops obeys inclusion-exclusion") {
+    q("fn_array_setops").collect().foreach { r =>
+      val (u, i, e) = (r.getAs[Int]("n_union"), r.getAs[Int]("n_intersect"),
+        r.getAs[Int]("n_except"))
+      // |A∪B| = |A\B| + |B| needs |B| — but |A| = |A\B| + |A∩B| always:
+      assert(e + i <= u && i >= 0 && e >= 0)
+      assert(r.getAs[String]("inter_str").split(",").filter(_.nonEmpty).length == i)
+    }
+  }
+
+  test("text_zipf_coverage cum_share is monotone in rank and bounded by 1") {
+    val rows = q("text_zipf_coverage").orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("tf"), r.getAs[Double]("cum_share")))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq, "tf not descending")
+    rows.sliding(2).foreach { case Array((_, _, a), (_, _, b)) => assert(a <= b + 1e-12) }
+    assert(rows.last._3 <= 1.0 + 1e-12)
+  }
+
+  test("multimodal_chunks tile exactly: per-doc chunk lengths sum to byte_len") {
+    val sums = q("multimodal_chunks").groupBy("doc_id")
+      .agg(sum(col("chunk_len")).as("s"), max(col("off")).as("maxoff")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    T.documents(spark, sf).select(col("doc_id"), length(col("text")).as("len"))
+      .collect().foreach { r =>
+        val (s, maxoff) = sums(r.getLong(0))
+        assert(s == r.getInt(1).toLong, s"doc ${r.getLong(0)} chunks don't tile")
+        assert(maxoff % 64 == 0)
+      }
   }
 
   test("text_lang_id mapPartitions rewrite equals the expression form") {
