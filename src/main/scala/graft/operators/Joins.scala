@@ -176,11 +176,16 @@ object Joins extends QueryModule {
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
       ensure(ot, "o_orderkey")(orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority")))
+      // Revenue over exact integer cents: the per-priority sum reaches
+      // ~6·10⁹ at sf0.1, where double partial-sum ordering noise (~1e-4)
+      // exceeds the r4 tolerance — the one sf0.1 hash mismatch of round 3.
       s.table(lt).hint("merge")
         .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          r4(expr("""CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))
+                     AS DOUBLE)""") / 10000.0).as("revenue"))
     })
   )
 
@@ -266,7 +271,9 @@ object Joins extends QueryModule {
 
     "join_bucketed_colocated" -> """
       SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))
+                   AS DOUBLE) / 10000.0, 4) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority
     """

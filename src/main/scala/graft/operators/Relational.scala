@@ -61,6 +61,34 @@ object Relational extends QueryModule {
       s"round((${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0, 6) AS cov_disc_tax")
   }
 
+  /** TPC-H Q1 over exact integer cents — one SQL text for BOTH engines
+    * (only the table name differs). Every aggregate input is an exact
+    * integer, so partial-sum order cannot perturb the rounded output;
+    * the decimal→double conversions and divisions are single
+    * deterministic IEEE ops identical in both engines.
+    */
+  private def tpchQ1Sql(table: String): String = s"""
+    WITH b AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+      FROM $table
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+           round(CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 4)
+             AS sum_disc_price,
+           round(CAST(sum(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 4)
+             AS sum_charge,
+           round(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+           round(CAST(sum(CAST(dc AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
+           count(*) AS count_order
+    FROM b GROUP BY l_returnflag, l_linestatus"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -302,6 +330,39 @@ object Relational extends QueryModule {
         .agg(aggs.head, aggs.tail: _*)
         .selectExpr(("l_returnflag" +: "n" +:
           (momentStats("q", "qty") ++ momentStats("c", "disc"))): _*)
+    }),
+
+    // End-to-end SQL surface: TPC-H-shaped pricing summary (Q1) — the
+    // canonical scan→filter→hash-agg report, straight through spark.sql.
+    // Money sums run over exact integer cents (price sums reach ~10¹⁰ at
+    // sf0.1, where double partial-sum ordering noise exceeds the r4
+    // rounding tolerance — caught by the sf0.1 check on the bucketed
+    // join); q1Select is shared verbatim with the oracle.
+    "sql_tpch_q1" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_q1")
+      s.sql(tpchQ1Sql("lineitem_q1"))
+    }),
+
+    // TPC-H-shaped shipping-priority query (Q3): dim-filtered 3-way join
+    // + grouped revenue + top-10. Customer filter reduces before the
+    // join; top-k plans as TakeOrderedAndProject.
+    "sql_tpch_q3" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_q3")
+      orders(s, d).createOrReplaceTempView("orders_q3")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q3")
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        FROM customer_q3 JOIN orders_q3 ON c_custkey = o_custkey
+             JOIN lineitem_q3 ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
     }),
 
     // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
@@ -685,6 +746,23 @@ object Relational extends QueryModule {
              ${momentStats("q", "qty").mkString(",\n             ")},
              ${momentStats("c", "disc").mkString(",\n             ")}
       FROM m ORDER BY l_returnflag
+    """,
+
+    "sql_tpch_q1" ->
+      (tpchQ1Sql("lineitem") + "\n      ORDER BY l_returnflag, l_linestatus"),
+
+    "sql_tpch_q3" -> """
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
     """,
 
     "agg_median" -> """

@@ -9,7 +9,10 @@ object PlanDump {
       "topk_global", "win_trailing_30d", "dedup_ngram_jaccard", "sim_topk_neighbors",
       "join_asof_latest", "stream_session_5m", "sim_ivf_topk",
       "text_tfidf", "sample_hash_bernoulli", "sample_stratified", "text_pii_scrub",
-      "agg_histogram", "agg_argminmax", "agg_percentiles", "fn_bitwise")
+      "agg_histogram", "agg_argminmax", "agg_percentiles", "fn_bitwise",
+      "join_bucketed_colocated", "scan_partition_pruned", "agg_skew_kurt",
+      "agg_corr_stats", "win_range_numeric", "text_zipf_coverage",
+      "multimodal_chunks", "sql_tpch_q1", "sql_tpch_q3", "setop_multiset")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(s, d)

@@ -37,6 +37,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
   }
 
+  test("join_bucketed_colocated joins without shuffling its inputs") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
+  test("sql_tpch_q3 top-10 is TakeOrderedAndProject over broadcast joins") {
+    val p = plan("sql_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
+  }
+
   test("flagship agg is a two-phase hash aggregate with codegen") {
     val df = SparkEntry.queries("agg_daily_counts")(spark, sf)
     df.collect() // finalize the AQE plan so codegen spans are visible

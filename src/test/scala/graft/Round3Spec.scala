@@ -81,7 +81,9 @@ class Round3Spec extends AnyFunSuite {
       .join(T.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        round(expr("""CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))
+              AS DOUBLE)""") / 10000.0, 4).as("revenue"))
     assert(q("join_bucketed_colocated").orderBy("o_orderpriority").collect().toSeq ==
       plain.orderBy("o_orderpriority").collect().toSeq)
   }
