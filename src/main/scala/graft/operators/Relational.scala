@@ -42,9 +42,13 @@ object Relational extends QueryModule {
     val a3 = s"(CAST(s3_$x AS DOUBLE)/n)"
     val a4 = s"(CAST(s4_$x AS DOUBLE)/n)"
     val m2 = s"($a2 - $m*$m)"
+    // `+ 0.0` after round: -0.0 normalizes to +0.0 in BOTH engines. Spark's
+    // BigDecimal HALF_UP round drops the sign of a rounded-away tiny
+    // negative; DuckDB keeps -0.0 — bitwise-different under the driver's
+    // dtype/bit-sensitive hash (caught on agg_corr_stats cov at r3).
     Seq(
-      s"round(($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2), 6) AS skew_$out",
-      s"round(($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3, 6) AS kurt_$out")
+      s"round(($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2), 6) + 0.0 AS skew_$out",
+      s"round(($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3, 6) + 0.0 AS kurt_$out")
   }
 
   /** agg_corr_stats select-expressions over its integer moment sums —
@@ -54,11 +58,14 @@ object Relational extends QueryModule {
     def m(x: String)  = s"(CAST(s_$x AS DOUBLE)/n)"
     val varQ  = s"(${m("qq")} - ${m("q")}*${m("q")})"
     val varPc = s"(${m("pp")} - ${m("pc")}*${m("pc")})"
+    // `+ 0.0` after round: see momentStats — normalizes -0.0 (DuckDB) vs
+    // +0.0 (Spark HALF_UP) to the same bits. This exact key hash-missed
+    // at r3 on cov_disc_tax = -0.0 for one group.
     Seq(
-      s"round(sqrt($varQ), 6) AS sd_qty",
-      s"round($varQ, 6) AS var_qty",
-      s"round((${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc)), 6) AS corr_qty_price",
-      s"round((${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0, 6) AS cov_disc_tax")
+      s"round(sqrt($varQ), 6) + 0.0 AS sd_qty",
+      s"round($varQ, 6) + 0.0 AS var_qty",
+      s"round((${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc)), 6) + 0.0 AS corr_qty_price",
+      s"round((${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0, 6) + 0.0 AS cov_disc_tax")
   }
 
   /** TPC-H Q1 over exact integer cents — one SQL text for BOTH engines

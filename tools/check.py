@@ -39,7 +39,11 @@ def norm(v):
     if isinstance(v, int):
         return ("INT", v)
     if isinstance(v, float):
-        return ("FLOAT", v)
+        # BIT-sensitive, not ==-sensitive: the driver hashes float64 bits,
+        # so -0.0 != +0.0 there (r3 agg_corr_stats miss) while Python's
+        # == says they're equal. NaN also becomes self-equal this way.
+        import struct
+        return ("FLOAT", struct.pack("<d", v))
     return v
 
 def main():
