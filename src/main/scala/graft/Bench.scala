@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // At 100 TB a table is thousands of ≥128 MB splits and every core
+      // has work; the sf0.1 fixtures are single ~50 MB files, which the
+      // default 128 MB split turns into 1–3 partitions — a 32-core run
+      // where 29 cores idle. Small splits emulate the cluster's natural
+      // scan parallelism at fixture scale (scan config, not a query
+      // change — plans and results are identical).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,14 +40,26 @@ object T {
   def documents(s: SparkSession, d: String): DataFrame  = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 
+  /** All three rounders run graft.functions.DuckRound — the ORACLE's own
+    * double-rounding algorithm (std::round(x·10ᵖ)/10ᵖ, ties away from
+    * zero), codegen'd. Parity is structural (including -0.0, which
+    * Spark's BigDecimal round drops) and it benches ~8× faster per value
+    * than the builtin round's BigDecimal path.
+    */
+  private def duckRound(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DuckRoundExpr(
+      ColumnBridge.expression(c.cast("double")), scale))
+  }
+
   /** Round for per-row arithmetic outputs (bit-identical across engines). */
-  def r6(c: Column): Column = round(c, 6)
+  def r6(c: Column): Column = duckRound(c, 6)
 
   /** Round for sums over many rows — coarser, absorbs fp-ordering noise. */
-  def r4(c: Column): Column = round(c, 4)
+  def r4(c: Column): Column = duckRound(c, 4)
 
   /** Round for money-magnitude sums (1e8+), where fp noise is largest. */
-  def r2(c: Column): Column = round(c, 2)
+  def r2(c: Column): Column = duckRound(c, 2)
 
   /** events.ts truncated to day as DATE (identical in Spark and DuckDB). */
   def day(c: Column): Column = date_trunc("DAY", c).cast("date")
