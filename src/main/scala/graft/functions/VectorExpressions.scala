@@ -65,6 +65,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       (children: Seq[Expression]) => DotF32(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sum_i128"),
+      new ExpressionInfo(classOf[Int128SumDouble].getName, "sum_i128"),
+      (children: Seq[Expression]) => Int128SumDouble(children.head)))
   }
 }
 
@@ -81,6 +85,12 @@ object VectorFunctions {
       reg.registerFunction(id,
         new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
         (children: Seq[Expression]) => DotF32(children.head, children(1)))
+    }
+    val idSum = FunctionIdentifier("sum_i128")
+    if (!reg.functionExists(idSum)) {
+      reg.registerFunction(idSum,
+        new ExpressionInfo(classOf[Int128SumDouble].getName, "sum_i128"),
+        (children: Seq[Expression]) => Int128SumDouble(children.head))
     }
   }
 }

@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
 object Relational extends QueryModule {
   import T._
 
-  /** Exact integer power sums Σx..Σx⁴ (x integral) as DECIMAL(38,0):
-    * order-independent partial aggregation, overflow-proof at any scale;
-    * the sums stay < 2^53 so the later double conversion is exact.
+  /** Exact integer power sums Σx..Σx⁴ (x integral) via the codegen'd
+    * 128-bit sum (graft.functions.Int128SumDouble): order-independent
+    * partial aggregation, overflow-proof to 2¹²⁷, correctly-rounded
+    * double out — DECIMAL(38,0) gave the same guarantees at ~3× the cost
+    * (per-row BigDecimal off the long-backed fast path).
     */
   private def powerSums(x: String) = Seq(
-    sum(expr(s"CAST($x AS DECIMAL(38,0))")).as(s"s1_$x"),
-    sum(expr(s"CAST($x*$x AS DECIMAL(38,0))")).as(s"s2_$x"),
-    sum(expr(s"CAST($x*$x*$x AS DECIMAL(38,0))")).as(s"s3_$x"),
-    sum(expr(s"CAST($x*$x*$x*$x AS DECIMAL(38,0))")).as(s"s4_$x"))
+    expr(s"sum_i128($x)").as(s"s1_$x"),
+    expr(s"sum_i128($x*$x)").as(s"s2_$x"),
+    expr(s"sum_i128($x*$x*$x)").as(s"s3_$x"),
+    expr(s"sum_i128($x*$x*$x*$x)").as(s"s4_$x"))
 
   /** Skewness/kurtosis select-expressions over `powerSums` columns. The
     * SAME text runs as Spark selectExpr and inside the DuckDB oracle, so
@@ -259,14 +261,20 @@ object Relational extends QueryModule {
     // family that can't partial-aggregate exactly; at 100 TB the scale
     // path is approx_percentile's mergeable t-digest-style sketch — kept
     // exact here because exact IS the oracle-checkable contract).
+    // One percentile(col, array(...)) buffer per COLUMN, not per
+    // requested quantile — the builtin buffers+sorts every group value
+    // once per call, so the 4-call form paid that 4×(bench: 1.9→1.1 s).
     "agg_percentiles" -> ((s, d) => {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          r6(expr("percentile(l_quantity, 0.5)")).as("q50_qty"),
-          r6(expr("percentile(l_quantity, 0.9)")).as("q90_qty"),
-          r6(expr("percentile(l_extendedprice, 0.25)")).as("q25_price"),
-          r6(expr("percentile(l_extendedprice, 0.99)")).as("q99_price"))
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.99D))").as("pp"))
+        .select(col("l_returnflag"), col("n"),
+          r6(element_at(col("pq"), 1)).as("q50_qty"),
+          r6(element_at(col("pq"), 2)).as("q90_qty"),
+          r6(element_at(col("pp"), 1)).as("q25_price"),
+          r6(element_at(col("pp"), 2)).as("q99_price"))
     }),
 
     // Median + discrete percentiles: `median` is interpolating (DuckDB
@@ -299,15 +307,17 @@ object Relational extends QueryModule {
     // not the double-state corr()/covar_pop() builtins: double
     // partial-state merge order follows shuffle arrival order, so the
     // last ulps differ run to run (the driver's r2 hash caught exactly
-    // that). Per-row products fit BIGINT; sums go DECIMAL(38,0)
-    // (overflow-proof at any scale, still plain partial-aggregatable
-    // hash aggs). corr is scale-invariant so cents need no rescale;
+    // that). Per-row products fit BIGINT; sums run the codegen'd 128-bit
+    // sum_i128 (overflow-proof at any scale, still plain
+    // partial-aggregatable hash aggs — see Int128SumDouble for why not
+    // DECIMAL(38,0)). corr is scale-invariant so cents need no rescale;
     // covar rescales by 1/10⁴. The formula text is shared verbatim with
     // the oracle (corrStats) → bit-identical doubles before rounding.
     "agg_corr_stats" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val sums = Seq("q" -> "q", "qq" -> "q*q", "pc" -> "pc", "pp" -> "pc*pc",
         "qp" -> "q*pc", "dc" -> "dc", "tc" -> "tc", "dt" -> "dc*tc")
-        .map { case (nm, e) => sum(expr(s"CAST($e AS DECIMAL(38,0))")).as(s"s_$nm") }
+        .map { case (nm, e) => expr(s"sum_i128($e)").as(s"s_$nm") }
       lineitem(s, d)
         .select(col("l_returnflag"),
           col("l_quantity").cast("bigint").as("q"),
@@ -328,6 +338,7 @@ object Relational extends QueryModule {
     // verbatim with the oracle (momentStats), so both engines run the
     // identical IEEE expression over identical exact inputs.
     "agg_skew_kurt" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val aggs = count(lit(1)).as("n") +: (powerSums("q") ++ powerSums("c"))
       lineitem(s, d)
         .select(col("l_returnflag"),
