@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated key filter for local isolation runs; the
+    // driver never sets it, so driver benches always time the full map.
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +33,11 @@ object Bench {
     try run("agg_daily_counts") catch { case _: Throwable => () }
     // min of 2 runs per key: full execution both times (noop sink), best
     // timing reported — absorbs GC/compilation noise (±10% observed).
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val bench = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None     => SparkEntry.queries
+    }
+    val results = bench.map { case (name, _) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         run(name)

@@ -89,7 +89,7 @@ object Dedup extends QueryModule {
             arr(i) = ((tc(i) * 1009 + tc(i + 1)) % P * 1009 + tc(i + 2)) % P
             i += 1
           }
-          arr.distinct
+          arr.distinct.sorted // ascending: prefix filtering slices the smallest codes
         } else Array.empty[Long]
         (id, tc, sh)
       }).toDF("doc_id", "tc", "codes")
@@ -123,24 +123,61 @@ object Dedup extends QueryModule {
       }).toDF("doc_id", "simhash")
   }
 
-  /** Candidate self-join + exact Jaccard over an exploded shingle index
-    * (doc_id, nsh, sh) — the shared tail of every shingle-based key.
+  /** Prefix-filtered exact-Jaccard pairs over (doc_id, codes) with codes
+    * SORTED ascending — the all-pairs similarity join of Bayardo/Ma/
+    * Srikant (WWW'07) and Chaudhuri's SSJoin, re-expressed as three
+    * DataFrame joins.
+    *
+    * Index only the (n − ⌈t·n⌉ + 1) SMALLEST codes of each doc: for any
+    * pair with J ≥ t, the smallest element of A∩B provably sits in both
+    * prefixes (if it didn't, the overlap would fit in the ⌈t·n⌉−1 suffix
+    * slots — too few), so the prefix equi-join loses no true pair. A
+    * length filter (den·min ≥ num·max, integer arithmetic) prunes
+    * further; exact Jaccard over the full sorted arrays then confirms.
+    * Versus indexing every shingle this cut candidate pairs ~25× at
+    * sf0.1 (1.27 M → ~50 k) — and candidate count, not doc count, is
+    * what explodes at 100 TB.
+    *
+    * t = num/den as integers: ⌈t·n⌉ computed as (num·n + den−1) div den.
+    * The double 0.8·n is NOT safe here — 0.8 is inexact binary, and an
+    * over-rounded ceil shortens the prefix into false negatives.
     */
-  private def jaccardFromIndex(sh: DataFrame): DataFrame =
-    sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+  private def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    // The two prefix-join sides are identical canonicalized subtrees, so
+    // ReuseExchange computes that shuffle once; the confirm-join sides
+    // broadcast at fixture scale. (Measured: forcing all four arms onto
+    // one repartition(doc_id) exchange changed nothing — don't add one.)
+    val d = docs.filter(size(col("codes")) > 0)
+      .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
+    val pref = d.select(col("doc_id"), col("nsh"),
+      explode(slice(col("codes"), lit(1),
+        col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + 1)).as("sh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.nsh"), col("b.nsh")) * den
+             >= greatest(col("a.nsh"), col("b.nsh")) * num)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // Confirm on full sorted arrays. At fixture scale both sides
+    // auto-broadcast; at 100 TB these become doc_id shuffle joins whose
+    // payload is O(candidates) arrays — candidates ≈ output size here.
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("codes").as("ca"),
+        col("nsh").as("na")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("codes").as("cb"),
+        col("nsh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ca"), col("cb"))).as("inter"),
+        col("na"), col("nb"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
 
-  /** All (a_id < b_id, jaccard) pairs sharing ≥1 shingle — the shared
+  /** All (a_id < b_id, jaccard) candidate pairs at t = 0.8 — the shared
     * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardFromIndex(codesDS(s, d).select(col("doc_id"),
-      size(col("codes")).as("nsh"), explode(col("codes")).as("sh")))
+    prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")), 4, 5)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle on the content hash; deterministic survivor
@@ -152,8 +189,9 @@ object Dedup extends QueryModule {
         .filter(col("n_copies") > 1)
     }),
 
-    // N-gram Jaccard near-dup: inverted index on shingle code → candidate
-    // pairs → exact Jaccard ≥ 0.8. Shuffles on the 8-byte shingle code.
+    // N-gram Jaccard near-dup: prefix-filtered all-pairs join (see
+    // prefixJaccardPairs) → exact Jaccard ≥ 0.8. Shuffles on the 8-byte
+    // shingle code, prefix slices only.
     "dedup_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(s, d).filter(col("jaccard") >= 0.8)),
 
@@ -227,20 +265,22 @@ object Dedup extends QueryModule {
       val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
       val cap = documents(s, d)
         .agg(ceil(count(lit(1)) * 0.05).cast("long").as("cap"))
-      // df and nsh as whole-partition window counts, not agg+join pairs:
-      // each is one shuffle plus a LOCAL sort on the partition key
-      // (WindowExec always orders its child on partitionBy), and the
-      // shingle stream never joins back to itself before the candidate
-      // join — removing those two join stages is what bought 3.1 → 2.4 s.
-      val kept = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      // The capped-out shingles are a PROVABLY tiny set (Σdf bounds the
+      // count of shingles with df > 5%·N at ~20·avg-shingles), so the
+      // cap materializes as a broadcast stop-list: one partial-combined
+      // groupBy(sh) for document frequencies, filter df > cap, fold to a
+      // single array row, and array_except it out of each doc's sorted
+      // codes map-side. No window sort-shuffle over the full shingle
+      // stream and no per-doc array rebuild shuffle — the two stages
+      // that dominated this key (and that grow with corpus size rather
+      // than stop-list size at 100 TB).
+      val stopArr = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(cap))
-        .filter(col("df") <= col("cap"))
-        .select(col("doc_id"), col("sh"))
-      val e = kept.withColumn("nsh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .select(col("doc_id"), col("nsh"), col("sh"))
-      jaccardFromIndex(e).filter(col("jaccard") >= 0.8)
+        .filter(col("df") > col("cap"))
+        .agg(sort_array(collect_list(col("sh"))).as("stop"))
+      val cappedDocs = docs.crossJoin(broadcast(stopArr))
+        .select(col("doc_id"), array_except(col("codes"), col("stop")).as("codes"))
+      prefixJaccardPairs(cappedDocs, 4, 5).filter(col("jaccard") >= 0.8)
     }),
 
     // Duplicate-cluster resolution: connected components over the n-gram
