@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNull, Literal, ShiftRight, ShiftRightUnsigned}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, Cast, EvalMode, Expression, If, IsNull, Literal, Not, Or, ShiftRight, ShiftRightUnsigned}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Exact 128-bit integer sum of a BIGINT column, evaluated to the
   * correctly-rounded DOUBLE of the exact sum — DuckDB's
@@ -32,14 +33,36 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 case class Int128SumDouble(child: Expression)
   extends DeclarativeAggregate with UnaryLike[Expression] {
 
+  // Integral inputs only: INT/SMALLINT/TINYINT widen losslessly to BIGINT;
+  // fractional/decimal/string inputs are rejected at ANALYSIS with a clear
+  // message instead of building an ill-typed bitwise tree that dies
+  // cryptically at codegen. (ExpectsInputTypes is unusable here —
+  // AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sum_i128 requires an integral input (TINYINT..BIGINT), got ${other.catalogString}")
+  }
+
+  /** Input widened to BIGINT (no-op for BIGINT; lossless for narrower). */
+  private lazy val input: Expression =
+    if (child.dataType == LongType) child
+    else Cast(child, LongType, evalMode = EvalMode.LEGACY)
+
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // sum-over-zero-rows (or all-NULL input) is NULL, matching both the
+  // builtin sum and DuckDB — a zero-initialized state alone would yield
+  // 0.0 for a global aggregate over an empty relation.
+  override def nullable: Boolean = true
   override def prettyName: String = "sum_i128"
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+  private lazy val nz = AttributeReference("nz", BooleanType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, nz)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
 
   /** Wrapping 64-bit add — EvalMode.LEGACY, never ANSI: low-word overflow
     * IS the carry mechanism (Spark 4 defaults to ANSI adds, which throw).
@@ -54,20 +77,21 @@ case class Int128SumDouble(child: Expression)
       Literal(63))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val v = If(IsNull(child), Literal(0L), child) // sum semantics: nulls contribute 0
+    val v = If(IsNull(input), Literal(0L), input) // sum semantics: nulls contribute 0
     val vhi = ShiftRight(v, Literal(63))          // sign-extend to 128 bits
     val newLo = wadd(lo, v)
     val newHi = wadd(wadd(hi, vhi), carry(lo, v, newLo))
-    Seq(newHi, newLo)
+    Seq(newHi, newLo, Or(nz, Not(IsNull(input))))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     val newLo = wadd(lo.left, lo.right)
     val newHi = wadd(wadd(hi.left, hi.right), carry(lo.left, lo.right, newLo))
-    Seq(newHi, newLo)
+    Seq(newHi, newLo, Or(nz.left, nz.right))
   }
 
-  override lazy val evaluateExpression: Expression = Int128ToDouble(hi, lo)
+  override lazy val evaluateExpression: Expression =
+    If(nz, Int128ToDouble(hi, lo), Literal(null, DoubleType))
 
   override protected def withNewChildInternal(c: Expression): Int128SumDouble =
     copy(child = c)

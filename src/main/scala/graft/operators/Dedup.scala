@@ -141,6 +141,15 @@ object Dedup extends QueryModule {
     * t = num/den as integers: ⌈t·n⌉ computed as (num·n + den−1) div den.
     * The double 0.8·n is NOT safe here — 0.8 is inexact binary, and an
     * over-rounded ceil shortens the prefix into false negatives.
+    *
+    * The prune threshold t is deliberately RELAXED below the semantic
+    * gate: callers filter on round(J,6) ≥ 0.8, which admits exact J down
+    * to 0.8 − 5e-7, so pruning at exactly 4/5 could drop a pair whose
+    * exact J ∈ [0.7999995, 0.8) yet rounds to 0.8 (needs |A∪B| ~ 1e6
+    * shingles — unreachable in fixtures, real at 100 TB). Callers pass
+    * 799999/1000000: prefix length and length filter stay sound for
+    * every pair the rounded gate can accept. All arithmetic is forced
+    * to 64-bit (nsh·10⁶ overflows INT at nsh ≥ 2148).
     */
   private def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     // The two prefix-join sides are identical canonicalized subtrees, so
@@ -151,11 +160,12 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
     val pref = d.select(col("doc_id"), col("nsh"),
       explode(slice(col("codes"), lit(1),
-        col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + 1)).as("sh"))
+        (col("nsh") - expr(s"(${num}L * nsh + ${den - 1}) div ${den}L") + 1)
+          .cast("int"))).as("sh"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.nsh"), col("b.nsh")) * den
-             >= greatest(col("a.nsh"), col("b.nsh")) * num)
+          && least(col("a.nsh"), col("b.nsh")).cast("long") * den
+             >= greatest(col("a.nsh"), col("b.nsh")).cast("long") * num)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     // Confirm on full sorted arrays. At fixture scale both sides
@@ -177,7 +187,8 @@ object Dedup extends QueryModule {
     * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")), 4, 5)
+    prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")),
+      799999, 1000000)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle on the content hash; deterministic survivor

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scans, filters, projections, aggregations, sorts, limits, set ops.
@@ -33,42 +33,54 @@ object Relational extends QueryModule {
     expr(s"sum_i128($x*$x*$x)").as(s"s3_$x"),
     expr(s"sum_i128($x*$x*$x*$x)").as(s"s4_$x"))
 
-  /** Skewness/kurtosis select-expressions over `powerSums` columns. The
-    * SAME text runs as Spark selectExpr and inside the DuckDB oracle, so
-    * both engines execute the identical IEEE double expression over
-    * identical exact integer inputs — bit-equal before rounding.
+  /** Skewness/kurtosis (exprText, alias) pairs over `powerSums` columns,
+    * UNROUNDED. The same text runs as Spark expr and inside the DuckDB
+    * oracle, so both engines execute the identical IEEE double expression
+    * over identical exact integer inputs — bit-equal before rounding.
+    * Rounding is then applied per engine by `statCols`/`statSql`, each
+    * running the scaled-double algorithm (see DuckRound.scala).
     */
-  private def momentStats(x: String, out: String): Seq[String] = {
+  private def momentStats(x: String, out: String): Seq[(String, String)] = {
     val m  = s"(CAST(s1_$x AS DOUBLE)/n)"
     val a2 = s"(CAST(s2_$x AS DOUBLE)/n)"
     val a3 = s"(CAST(s3_$x AS DOUBLE)/n)"
     val a4 = s"(CAST(s4_$x AS DOUBLE)/n)"
     val m2 = s"($a2 - $m*$m)"
-    // `+ 0.0` after round: -0.0 normalizes to +0.0 in BOTH engines. Spark's
-    // BigDecimal HALF_UP round drops the sign of a rounded-away tiny
-    // negative; DuckDB keeps -0.0 — bitwise-different under the driver's
-    // dtype/bit-sensitive hash (caught on agg_corr_stats cov at r3).
     Seq(
-      s"round(($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2), 6) + 0.0 AS skew_$out",
-      s"round(($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3, 6) + 0.0 AS kurt_$out")
+      s"($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2)" -> s"skew_$out",
+      s"($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3" -> s"kurt_$out")
   }
 
-  /** agg_corr_stats select-expressions over its integer moment sums —
-    * shared verbatim between Spark selectExpr and the DuckDB oracle.
+  /** agg_corr_stats (exprText, alias) pairs over its integer moment sums,
+    * UNROUNDED — shared verbatim between the Spark plan and the DuckDB
+    * oracle; rounding applied per engine by `statCols`/`statSql`.
     */
-  private def corrStats: Seq[String] = {
+  private def corrStats: Seq[(String, String)] = {
     def m(x: String)  = s"(CAST(s_$x AS DOUBLE)/n)"
     val varQ  = s"(${m("qq")} - ${m("q")}*${m("q")})"
     val varPc = s"(${m("pp")} - ${m("pc")}*${m("pc")})"
-    // `+ 0.0` after round: see momentStats — normalizes -0.0 (DuckDB) vs
-    // +0.0 (Spark HALF_UP) to the same bits. This exact key hash-missed
-    // at r3 on cov_disc_tax = -0.0 for one group.
     Seq(
-      s"round(sqrt($varQ), 6) + 0.0 AS sd_qty",
-      s"round($varQ, 6) + 0.0 AS var_qty",
-      s"round((${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc)), 6) + 0.0 AS corr_qty_price",
-      s"round((${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0, 6) + 0.0 AS cov_disc_tax")
+      s"sqrt($varQ)" -> "sd_qty",
+      varQ -> "var_qty",
+      s"(${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc))" -> "corr_qty_price",
+      s"(${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0" -> "cov_disc_tax")
   }
+
+  /** Spark-side rendering of shared stat expressions: r6 is DuckRoundExpr —
+    * the ORACLE's own scaled-double rounding — not Spark's BigDecimal
+    * HALF_UP round, whose decimal-expansion rounding can land one ulp away
+    * on boundary values (the divergence class DuckRound.scala documents).
+    * `+ 0.0` normalizes -0.0 (kept by std::round, dropped nowhere here) so
+    * both engines emit the same bits under the driver's bit-sensitive hash.
+    */
+  private def statCols(raw: Seq[(String, String)]): Seq[Column] =
+    raw.map { case (e, a) => (r6(expr(e)) + lit(0.0)).as(a) }
+
+  /** Oracle-side rendering: DuckDB's builtin round IS the scaled-double
+    * algorithm, so `round(e, 6) + 0.0` matches statCols bit-for-bit.
+    */
+  private def statSql(raw: Seq[(String, String)]): Seq[String] =
+    raw.map { case (e, a) => s"round($e, 6) + 0.0 AS $a" }
 
   /** TPC-H Q1 over exact integer cents — one SQL text for BOTH engines
     * (only the table name differs). Every aggregate input is an exact
@@ -326,7 +338,7 @@ object Relational extends QueryModule {
           expr("CAST(round(l_tax * 100) AS BIGINT)").as("tc"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sums: _*)
-        .selectExpr(("l_returnflag" +: "n" +: corrStats): _*)
+        .select((col("l_returnflag") +: col("n") +: statCols(corrStats)): _*)
     }),
 
     // Skewness / kurtosis from integer power sums: quantity is integral
@@ -346,8 +358,8 @@ object Relational extends QueryModule {
           expr("CAST(round(l_discount * 100) AS BIGINT)").as("c"))
         .groupBy(col("l_returnflag"))
         .agg(aggs.head, aggs.tail: _*)
-        .selectExpr(("l_returnflag" +: "n" +:
-          (momentStats("q", "qty") ++ momentStats("c", "disc"))): _*)
+        .select((col("l_returnflag") +: col("n") +:
+          statCols(momentStats("q", "qty") ++ momentStats("c", "disc"))): _*)
     }),
 
     // End-to-end SQL surface: TPC-H-shaped pricing summary (Q1) — the
@@ -677,7 +689,7 @@ object Relational extends QueryModule {
                sum(dc) AS s_dc, sum(tc) AS s_tc, sum(dc*tc) AS s_dt
         FROM b GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-             ${corrStats.mkString(",\n             ")}
+             ${statSql(corrStats).mkString(",\n             ")}
       FROM m ORDER BY l_returnflag
     """,
 
@@ -761,8 +773,8 @@ object Relational extends QueryModule {
                sum(c*c*c) AS s3_c, sum(c*c*c*c) AS s4_c
         FROM b GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-             ${momentStats("q", "qty").mkString(",\n             ")},
-             ${momentStats("c", "disc").mkString(",\n             ")}
+             ${statSql(momentStats("q", "qty")).mkString(",\n             ")},
+             ${statSql(momentStats("c", "disc")).mkString(",\n             ")}
       FROM m ORDER BY l_returnflag
     """,
 
