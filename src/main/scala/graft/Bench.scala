@@ -28,15 +28,25 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // Untimed warm-up: JVM/codegen/file-index warm-up otherwise lands on
-    // whichever query happens to run first (~4 s of noise on one key).
-    try run("agg_daily_counts") catch { case _: Throwable => () }
-    // min of 2 runs per key: full execution both times (noop sink), best
-    // timing reported — absorbs GC/compilation noise (±10% observed).
-    val bench = keyFilter match {
+    // FIXED execution order (sorted keys): map iteration order shifted
+    // whenever the inventory changed, which moved which key absorbed
+    // residual warm-up/GC phase — one of the r5 per-key noise sources.
+    val bench = (keyFilter match {
       case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
       case None     => SparkEntry.queries
+    }).toSeq.sortBy(_._1)
+    // Untimed warm-ups: JVM/codegen/file-index warm-up otherwise lands on
+    // whichever query runs first (~4 s of noise on one key); the second
+    // warm-up of the FIRST MEASURED key covers its key-specific codegen
+    // so position #1 isn't systematically penalized.
+    try run("agg_daily_counts") catch { case _: Throwable => () }
+    bench.headOption.foreach { case (k, _) =>
+      try run(k) catch { case _: Throwable => () }
     }
+    // min of 3 runs per key: full execution each time (noop sink), best
+    // timing reported. r5 showed min-of-2 leaves ±2–4× single-key swings
+    // (fn_json 0.59→2.65 s with zero code change) — a third sample makes
+    // a real 2× regression distinguishable from a straggler run.
     val results = bench.map { case (name, _) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -44,9 +54,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // A failed query reports -1 (never a bogus near-zero timing).
-      try { name -> math.min(once(), once()) }
+      try { name -> Seq(once(), once(), once()).min }
       catch { case _: Throwable => name -> -1.0 }
-    }
+    }.toMap
     // The driver parses this line from a 2000-char stdout TAIL (measured
     // from BENCH_r01.json: tail len 2000, and round 1's full-precision
     // line was truncated → "parsed": null). sbt's trailing "[success]"

@@ -41,6 +41,10 @@ case class Int128SumDouble(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       TypeCheckResult.TypeCheckSuccess
+    // Bare NULL literal: all-NULL input, evaluates to NULL via the nz flag —
+    // matching builtin sum and DuckDB, which both accept sum(NULL).
+    case org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"sum_i128 requires an integral input (TINYINT..BIGINT), got ${other.catalogString}")
   }

@@ -183,8 +183,12 @@ object Dedup extends QueryModule {
         r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** All (a_id < b_id, jaccard) candidate pairs at t = 0.8 — the shared
+  /** All (a_id < b_id, jaccard) candidate pairs for the SEMANTIC gate
+    * t = 0.8 (callers filter on round(J,6) >= 0.8) — the shared
     * candidate-pair stage of `dedup_ngram_jaccard` and `dedup_cluster_cc`.
+    * The num/den passed below is the deliberately RELAXED prune threshold
+    * 799999/1000000, NOT the gate: see prefixJaccardPairs for why pruning
+    * at exactly 4/5 could drop a pair the rounded gate accepts.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")),

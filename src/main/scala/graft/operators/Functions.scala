@@ -208,13 +208,21 @@ object Functions extends QueryModule {
         expr("named_struct('a', o_orderkey, 'b', o_custkey).b").as("cust_f"))
     }),
 
-    // JSON extraction from the events.props payload column.
+    // JSON extraction from the events.props payload column. Both outputs
+    // derive from ONE aliased from_json struct: referencing the alias
+    // twice blocks CollapseProject from inlining the non-cheap
+    // JsonToStructs into each consumer, so every row's JSON is parsed
+    // exactly once (the r5 two-parse form — get_json_object + from_json —
+    // was the slowest bench key at 2.65 s). PlanSpec asserts the plan
+    // carries a single JsonToStructs node.
     "fn_json" -> ((s, d) => {
-      events(s, d).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").as("k_schema"))
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+        .select(col("event_id"),
+          col("j").getField("k").as("k_path"),
+          col("j").getField("k").as("k_schema"))
     }),
 
     // Null-semantics surface: null-safe equality (<=>), IS DISTINCT FROM

@@ -186,6 +186,52 @@ object Joins extends QueryModule {
           r4(expr("""CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))
                      AS DOUBLE)""") / 10000.0).as("revenue"))
+    }),
+
+    // Recursive category-closure roll-up — the reference's recursive
+    // subcategory descent (AskCommons category → subcategory → … member
+    // resolution) done IN-engine: membership = transitive closure of root
+    // categories over a static category-edge dimension, then ONE broadcast
+    // join to the facts and a per-root roll-up. The edge dimension is a
+    // deterministic 4-ary tree over part keys (parent = key div 4) —
+    // structurally a category graph: small, acyclic, closed iteratively.
+    // Scale shape (100 TB): the frontier-expansion loop joins the current
+    // frontier (category ids only) against the BROADCAST edge dimension —
+    // category dims are ≪ facts — so closure costs O(depth) tiny joins
+    // and the fact table is touched exactly once, at the end. Each round
+    // localCheckpoints (lineage stays O(1) in rounds — the CC lesson);
+    // depth is bounded loudly, never silently truncated. Oracle: the same
+    // closure via WITH RECURSIVE.
+    "join_category_closure" -> ((s, d) => {
+      val edges = part(s, d).filter(col("p_partkey") >= 1)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 4").as("parent"))
+        .persist()
+      import s.implicits._
+      val roots = Seq(1, 2, 3).toDF("root")
+        .select(col("root"), col("root").cast("long").as("node"))
+      var members = roots.localCheckpoint(true)
+      var frontier = members
+      var round = 0
+      while (!frontier.isEmpty && round < 12) {
+        frontier = frontier.join(broadcast(edges), col("node") === col("parent"))
+          .select(col("root"), col("child").as("node"))
+          .localCheckpoint(true)
+        members = members.union(frontier).localCheckpoint(true)
+        round += 1
+      }
+      // A silently-truncated closure would under-count every root's
+      // subtree — fail loudly instead. Depth of a 4-ary tree over n keys
+      // is ⌈log₄ n⌉: 12 rounds covers n up to 4¹² ≈ 1.6×10⁷ categories.
+      require(frontier.isEmpty,
+        s"category closure did not converge within $round rounds")
+      // members is checkpoint-materialized (lineage-free), so dropping
+      // the edge cache cannot force recomputation through it.
+      edges.unpersist()
+      members.join(part(s, d), col("node") === col("p_partkey"))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("total_cents"))
     })
   )
 
@@ -203,6 +249,23 @@ object Joins extends QueryModule {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+
+    // Same closure, declaratively: WITH RECURSIVE over the identical
+    // arithmetic edge dimension (sum over BIGINT is HUGEINT in DuckDB —
+    // cast back).
+    "join_category_closure" -> """
+      WITH RECURSIVE m(root, node) AS (
+          SELECT r, CAST(r AS BIGINT) FROM (VALUES (1), (2), (3)) t(r)
+        UNION ALL
+          SELECT m.root, e.child
+          FROM m JOIN (SELECT p_partkey AS child, p_partkey // 4 AS parent
+                       FROM part WHERE p_partkey >= 1) e
+            ON e.parent = m.node)
+      SELECT root, count(*) AS n_parts,
+             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM m JOIN part ON p_partkey = m.node
+      GROUP BY root ORDER BY root
     """,
 
     "join_shuffle_hash" -> """

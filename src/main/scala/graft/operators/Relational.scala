@@ -166,12 +166,20 @@ object Relational extends QueryModule {
             .as("charged"))
     }),
 
-    // Percent-decode + path-prefix strip (LogProcessor title cleanup):
-    // url_encode/url_decode roundtrip + substring_index prefix strip.
+    // Percent-decode + path-prefix strip (LogProcessor title cleanup).
+    // `decoded` decodes REAL percent-encoded input (a literal escape set —
+    // %2F %20 %C3%A9 %7E %2B, covering path separator, space, multibyte
+    // UTF-8, unreserved-but-encoded, and plus — prefixed to the name with
+    // its spaces re-encoded as %20), not a decode of its own encode; the
+    // oracle decodes the same fixed escape set via chained replace(), so
+    // the decode half is tested against adversarial input. `roundtrip`
+    // keeps the encode half covered.
     "proj_url_decode" -> ((s, d) => {
       part(s, d)
         .select(col("p_partkey"),
-          url_decode(url_encode(col("p_name"))).as("decoded"),
+          url_decode(concat(lit("dir%2Fsub%20f%C3%A9%7E%2B"),
+            regexp_replace(col("p_name"), " ", "%20"))).as("decoded"),
+          url_decode(url_encode(col("p_name"))).as("roundtrip"),
           substring_index(
             concat(lit("/wikipedia/commons/a/ab/"), col("p_name")), "/", -1).as("stripped"))
     }),
@@ -237,13 +245,22 @@ object Relational extends QueryModule {
         .agg(sum(col("pn")).as("n_events"), r4(sum(col("pv"))).as("total_value"))
     }),
 
-    // HLL sketch distinct — the 100 TB path for distinct counts. No oracle
-    // (sketch internals are engine-specific); rows-only check + ScalaTest
-    // asserts it lands within 5% of exact.
+    // HLL sketch distinct — the 100 TB path for distinct counts. Sketch
+    // VALUES are engine-specific (cross-engine hash match impossible), so
+    // the key emits an engine-agnostic TOLERANCE VERDICT instead: the exact
+    // count plus a boolean |approx−exact|/exact ≤ 5% computed Spark-side.
+    // The DuckDB oracle emits the same exact counts with literal TRUE —
+    // both engines hash-match, making the sketch driver-checkable. The
+    // verdict is deterministic (HLL is a pure function of the data, not a
+    // random draw), and rsd=0.02 keeps the estimate well inside 2.5σ.
     "agg_approx_hll" -> ((s, d) => {
       events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("approx") - col("n_users_exact")).cast("double")
+            / col("n_users_exact") <= 0.05).as("within_5pct"))
     }),
 
     // argmax/argmin per group: WHICH row holds the extreme, not just the
@@ -449,15 +466,28 @@ object Relational extends QueryModule {
     }),
 
     // Mergeable quantile sketch — the 100 TB path for agg_percentiles
-    // (partial-aggregatable, bounded state). No oracle: sketch internals
-    // are engine-specific; PipelineOpsSpec bounds it against the exact
-    // percentiles by rank tolerance.
+    // (partial-aggregatable, bounded state). Sketch values are
+    // engine-specific, so the key emits a TOLERANCE VERDICT: booleans that
+    // the approx value lands between the exact discrete quantiles at
+    // rank ±1% of the target — computed Spark-side against Spark's own
+    // exact percentile_disc. accuracy=10000 bounds rank error to 1e-4·n
+    // (and is EXACT below 10k rows/group), far inside the ±1% window, so
+    // the verdict is TRUE at every SF; the DuckDB oracle emits the same
+    // exact group counts with literal TRUE and both engines hash-match.
+    // PipelineOpsSpec still bounds the raw sketch values by rank tolerance.
     "agg_approx_quantiles" -> ((s, d) => {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("q50_qty"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("q99_price"))
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("aq99"),
+          expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_quantity)").as("lo50"),
+          expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_quantity)").as("hi50"),
+          expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY l_extendedprice)").as("lo99"),
+          expr("percentile_disc(0.995) WITHIN GROUP (ORDER BY l_extendedprice)").as("hi99"))
+        .select(col("l_returnflag"), col("n"),
+          (col("aq50") >= col("lo50") && col("aq50") <= col("hi50")).as("q50_in_rank_tol"),
+          (col("aq99") >= col("lo99") && col("aq99") <= col("hi99")).as("q99_in_rank_tol"))
     }),
 
     "agg_rollup" -> ((s, d) => {
@@ -618,8 +648,16 @@ object Relational extends QueryModule {
       FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 
+    // DuckDB 1.0 has no url_decode builtin; the escape set is a FIXED
+    // finite literal set, so a chained replace (longest token first — the
+    // multibyte %C3%A9 before its %C3 prefix could ever match) decodes it
+    // exactly.
     "proj_url_decode" -> """
-      SELECT p_partkey, p_name AS decoded,
+      SELECT p_partkey,
+             replace(replace(replace(replace(replace(
+               'dir%2Fsub%20f%C3%A9%7E%2B' || replace(p_name, ' ', '%20'),
+               '%C3%A9', 'é'), '%2F', '/'), '%20', ' '), '%7E', '~'), '%2B', '+') AS decoded,
+             p_name AS roundtrip,
              string_split('/wikipedia/commons/a/ab/' || p_name, '/')[-1] AS stripped
       FROM part ORDER BY p_partkey
     """,
@@ -664,6 +702,22 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    // Tolerance-verdict oracles for the sketch keys: the oracle computes
+    // the EXACT side and asserts the verdict TRUE; Spark computes the
+    // verdict from its own sketch vs its own exact aggregate. A sketch
+    // value can never hash-match across engines — a verdict about it can.
+    "agg_approx_hll" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_approx_quantiles" -> """
+      SELECT l_returnflag, count(*) AS n,
+             TRUE AS q50_in_rank_tol, TRUE AS q99_in_rank_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 
     "agg_boolean" -> """

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *   scale the bucket id becomes the shuffle/partition key so a probe
   *   touches 1/256th of the data; recall is tunable by multi-probing
   *   neighboring buckets (not needed on fixtures);
-  * - embedding near-dup kNN blocks on `label` (a real pipeline would block
-  *   on coarse quantization cells) so the pair space is |label|× smaller
-  *   than the n² cross join;
+  * - embedding near-dup kNN blocks on coarse QUANTIZATION cells (each
+  *   vector assigned to its nearest mean-vector centroid, the IVF recipe)
+  *   so the pair space is k× smaller than the n² cross join and the
+  *   centroid count k — not a lucky metadata column — is the scale knob;
   * - the vector-average UDAF is a typed Aggregator with map-side partial
   *   merge — state is one (sums[64], count) buffer per group, the same
   *   shape Spark's own avg uses.
@@ -209,24 +210,49 @@ object Similarity extends QueryModule {
     "sim_range_search" -> ((s, d) =>
       scored(probeScored(s, d)).filter(col("cos") >= 0.2)),
 
-    // Embedding near-dup: each vector's nearest neighbor within its label
-    // block. Cosine rounded BEFORE ranking so ties break identically in
+    // Embedding near-dup: each vector's nearest neighbor within its IVF
+    // cell — blocking on coarse QUANTIZATION cells (nearest mean_vec
+    // centroid by r6-rounded cosine, cell-asc tie-break: the sim_ivf_topk
+    // assignment recipe applied to every vector, not just the probe), NOT
+    // on the label metadata column. This is the honest 100 TB shape: the
+    // centroid count k is the knob that bounds the pair space to n²/k,
+    // and the cell id is the one shuffle key; label-blocking (the r5
+    // form) only worked because the fixture had a convenient category
+    // column. Cosine rounded BEFORE ranking so ties break identically in
     // both engines (by neighbor id).
     "dedup_embed_cosine" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
+      val meanVec = udaf(VectorAvg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      s.udf.register("mean_vec", meanVec)
       // Norms once per vector (map-side), not three dot products per pair.
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+      // Coarse quantizer "training": per-label mean centroids (identical
+      // to sim_ivf_topk, so the oracle mirrors it with the same SQL).
+      val cents = e.groupBy(col("label").as("cell"))
+        .agg(expr("mean_vec(embedding)").as("c"))
+      // f32×f64 dot stays HOF (mixed element types); same fold order as
+      // the oracle's list_transform sum.
+      val dotVC = "aggregate(zip_with(embedding, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+          r6(expr(s"$dotVC / (norm * sqrt($dotCC))")).as("ccos"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cell"))
+      val cellOf = assigned.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      val pairs = cellOf.as("a").join(cellOf.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
           col("b.vec_id").as("nn_id"),
           r6(expr(ndot("a.embedding", "b.embedding")) / (col("a.norm") * col("b.norm"))).as("cos"))
       val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nn_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("nn_id"), col("cos"))
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("cos"))
     }),
 
     // Typed UDAF: per-label mean embedding via a custom Aggregator with
@@ -358,21 +384,42 @@ object Similarity extends QueryModule {
       ORDER BY vec_id
     """,
 
+    // Mirrors the Spark plan stage for stage: same centroid training SQL
+    // as duckIvf, same r6-rounded cosine assignment with cell-asc
+    // tie-break, kNN within assigned cell.
     "dedup_embed_cosine" -> s"""
-      WITH n AS (
-        SELECT vec_id, label, embedding,
+      WITH cent AS (
+        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
+          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i)
+        GROUP BY label),
+      n AS (
+        SELECT vec_id, embedding,
                sqrt(${duckDot("embedding", "embedding")}) AS norm
         FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, norm, cell,
+               round(
+                 list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * c[i]))
+                 / (norm * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6)
+                 AS ccos
+        FROM n, cent),
+      cellof AS (
+        SELECT vec_id, embedding, norm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cell) AS rn
+          FROM assigned) WHERE rn = 1),
       pairs AS (
-        SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+        SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS nn_id,
                round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
-        FROM n a JOIN n b
-          ON a.label = b.label AND a.vec_id <> b.vec_id),
+        FROM cellof a JOIN cellof b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cos DESC, nn_id) AS rn
         FROM pairs)
-      SELECT vec_id, label, nn_id, cos FROM ranked WHERE rn = 1
+      SELECT vec_id, cell, nn_id, cos FROM ranked WHERE rn = 1
       ORDER BY vec_id
     """,
 

@@ -44,6 +44,52 @@ object Streaming extends QueryModule {
         .select(col("w.start").as("wstart"), col("n"), col("n_users"))
     }),
 
+    // Stream-equals-batch equivalence, driver-checked: a TRUE Structured
+    // Streaming run (readStream file source → tumbling-window stateful agg
+    // → foreachBatch upsert into a serving table, Trigger.AvailableNow) —
+    // the reference's cron-driven daily batch made incremental — whose
+    // final table must equal the batch SQL oracle. Aggregates are
+    // integer-exact (count + cents sum) so incremental state-merge order
+    // cannot perturb the result vs the batch plan. At 100 TB this is the
+    // operational ingest shape: new log files land, AvailableNow drains
+    // them through bounded state, foreachBatch upserts day-partitions.
+    "stream_batch_equiv" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // Stream sources can't infer schema: take it from the batch reader
+      // (ts arrives as raw nanos long under nanosAsLong — see T.events).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val out  = java.nio.file.Files.createTempDirectory("graft_sbe_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sbe_ckpt").toString
+      // The file stream source watches a DIRECTORY (its real contract:
+      // log files landing in a drop folder); the fixture is a single
+      // file, so stage it into one via symlink — read-only, zero copy.
+      val in = java.nio.file.Files.createTempDirectory("graft_sbe_in")
+      java.nio.file.Files.createSymbolicLink(
+        in.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+      val agg = s.readStream.schema(schema).parquet(in.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_cents"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        // Complete-mode foreachBatch: each trigger delivers the full
+        // updated aggregate; the idempotent overwrite is the exactly-once
+        // upsert analog (a real deployment would MERGE day-partitions).
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          bdf.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // Per-user session windows, 5-minute gap. Session end = last event +
     // gap (end-exclusive merge: an event at exactly prev_end starts a new
     // session) — the oracle's gaps-and-islands flag uses >= to match.
@@ -72,6 +118,15 @@ object Streaming extends QueryModule {
         FROM events)
       SELECT wstart, count(*) AS n, count(DISTINCT user_id) AS n_users
       FROM fanout GROUP BY wstart ORDER BY wstart
+    """,
+
+    // The batch SQL the streaming run must equal (sum over BIGINT is
+    // HUGEINT in DuckDB — cast back).
+    "stream_batch_equiv" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type
     """,
 
     "stream_session_5m" -> """

@@ -100,6 +100,15 @@ class PlanSpec extends AnyFunSuite {
     assert(h.contains("partial_count"), "histogram must partial-aggregate map-side")
   }
 
+  test("fn_json parses each row's JSON exactly once") {
+    // Both output columns derive from one aliased from_json; CollapseProject
+    // must NOT inline the non-cheap JsonToStructs into each consumer (that
+    // was the r5 two-parse form — the slowest bench key at 2.65 s).
+    val p = plan("fn_json")
+    val parses = "from_json".r.findAllIn(p).length
+    assert(parses == 1, s"expected exactly one JSON parse, got $parses in:\n$p")
+  }
+
   test("dedup candidate joins shuffle on short keys, not document text") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.toLowerCase.contains("broadcastnestedloop"),
