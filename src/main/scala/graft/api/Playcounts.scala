@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * | `FilePlaycount.date_range_count(f, s, e)`   | `dateRangeCount`     |
   * | `FilePlaycount.last_30(file)`               | `last30`             |
   * | `FilePlaycount.last_90(file)`               | `last90`             |
-  * | `CategoryPlaycount` (AskCommons + sum)      | `categoryCount`      |
+  * | `CategoryPlaycount` (AskCommons + sum)      | `categoryCount` (recursive overload = subcategory descent) |
   * | `LogProcessor.parse` (TSV → counts rows)    | `Playcounts.fromMediacountsLog` |
   *
   * `counts` schema: (file STRING, date DATE, count BIGINT) — the
@@ -65,13 +65,50 @@ final class Playcounts(counts: DataFrame) {
   def categoryCount(members: DataFrame, category: String,
                     start: java.sql.Date, end: java.sql.Date): DataFrame = {
     val files = members.filter(col("category") === category).select(col("file"))
+    rollup(files, category, start, end)
+  }
+
+  /** Recursive variant — the reference's AskCommons category →
+    * subcategory → … descent, in-engine: membership is the closure of
+    * `category` over the `edges` (parent, child) dimension, resolved by
+    * iterative broadcast-join frontier expansion (the
+    * `join_category_closure` shape). Real category graphs are DAGs that
+    * may contain cycles, so each round subtracts already-seen categories
+    * — the loop terminates on any graph; depth is bounded LOUDLY, and a
+    * file reachable through several subcategories still counts once
+    * (distinct before the roll-up). Category dimensions are ≪ facts at
+    * 100 TB: the closure costs O(depth) tiny broadcast joins and the
+    * counts table is touched exactly once.
+    */
+  def categoryCount(members: DataFrame, edges: DataFrame, category: String,
+                    start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    var cats = Seq(category).toDF("category").localCheckpoint(true)
+    var frontier = cats
+    var round = 0
+    while (!frontier.isEmpty && round < 20) {
+      frontier = frontier.join(broadcast(edges), col("category") === col("parent"))
+        .select(col("child").as("category")).distinct()
+        .except(cats).localCheckpoint(true)
+      cats = cats.union(frontier).localCheckpoint(true)
+      round += 1
+    }
+    require(frontier.isEmpty,
+      s"category closure did not terminate within $round rounds")
+    val files = members.join(broadcast(cats), Seq("category"))
+      .select(col("file")).distinct()
+    rollup(files, category, start, end)
+  }
+
+  private def rollup(files: DataFrame, category: String,
+                     start: java.sql.Date, end: java.sql.Date): DataFrame =
     counts
       .join(broadcast(files), Seq("file"))
       .filter(col("date").between(start, end))
       .agg(coalesce(sum(col("count")), lit(0L)).as("total"),
         countDistinct(col("file")).as("n_files"))
       .select(lit(category).as("category"), col("total"), col("n_files"))
-  }
 }
 
 object Playcounts {

@@ -93,4 +93,26 @@ class ApiSpec extends AnyFunSuite {
     val empty = pc.categoryCount(members, "Empty cat", day1, day2).collect()(0)
     assert(empty.getAs[Long]("total") == 0L && empty.getAs[Long]("n_files") == 0L)
   }
+
+  test("categoryCount recursive closure: diamond counted once, cycle terminates") {
+    import spark.implicits._
+    val members = Seq(
+      ("Cat videos", "Cat video.webm"),
+      ("Audio", "Song.ogg")).toDF("category", "file")
+    // Diamond: "Cat videos" reachable from Media via BOTH Cats and Audio;
+    // cycle: Cat videos → Cats. The closure must count each file once and
+    // terminate anyway.
+    val edges = Seq(
+      ("Media", "Cats"), ("Media", "Audio"),
+      ("Cats", "Cat videos"), ("Audio", "Cat videos"),
+      ("Cat videos", "Cats")).toDF("parent", "child")
+    val pc = new api.Playcounts(counts)
+    val media = pc.categoryCount(members, edges, "Media", day1, day2).collect()(0)
+    assert(media.getAs[Long]("total") == 29L && media.getAs[Long]("n_files") == 2L)
+    val cats = pc.categoryCount(members, edges, "Cats", day1, day2).collect()(0)
+    assert(cats.getAs[Long]("total") == 22L && cats.getAs[Long]("n_files") == 1L)
+    // The flat (non-recursive) variant sees no direct members of "Media".
+    val flat = pc.categoryCount(members, "Media", day1, day2).collect()(0)
+    assert(flat.getAs[Long]("total") == 0L && flat.getAs[Long]("n_files") == 0L)
+  }
 }
