@@ -84,14 +84,16 @@ final class Playcounts(counts: DataFrame) {
                     start: java.sql.Date, end: java.sql.Date): DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
-    var cats = Seq(category).toDF("category").localCheckpoint(true)
-    var frontier = cats
+    var frontier = Seq(category).toDF("category").localCheckpoint(true)
+    // cats = flat union of eagerly-checkpointed frontiers — depth-1 plan,
+    // no checkpoint of its own needed (one job per round, not three).
+    var cats = frontier
     var round = 0
     while (!frontier.isEmpty && round < 20) {
       frontier = frontier.join(broadcast(edges), col("category") === col("parent"))
         .select(col("child").as("category")).distinct()
         .except(cats).localCheckpoint(true)
-      cats = cats.union(frontier).localCheckpoint(true)
+      cats = cats.union(frontier)
       round += 1
     }
     require(frontier.isEmpty,

@@ -210,14 +210,18 @@ object Joins extends QueryModule {
       import s.implicits._
       val roots = Seq(1, 2, 3).toDF("root")
         .select(col("root"), col("root").cast("long").as("node"))
-      var members = roots.localCheckpoint(true)
-      var frontier = members
+      var frontier = roots.localCheckpoint(true)
+      // members = union of eagerly-checkpointed frontiers: its plan stays
+      // a FLAT union over materialized blocks (depth 1 in rounds), so it
+      // needs no checkpoint of its own — one Spark job per round, not
+      // three (the frontier checkpoint is itself the round's action).
+      var members = frontier
       var round = 0
       while (!frontier.isEmpty && round < 12) {
         frontier = frontier.join(broadcast(edges), col("node") === col("parent"))
           .select(col("root"), col("child").as("node"))
           .localCheckpoint(true)
-        members = members.union(frontier).localCheckpoint(true)
+        members = members.union(frontier)
         round += 1
       }
       // A silently-truncated closure would under-count every root's
@@ -228,7 +232,11 @@ object Joins extends QueryModule {
       // members is checkpoint-materialized (lineage-free), so dropping
       // the edge cache cannot force recomputation through it.
       edges.unpersist()
-      members.join(part(s, d), col("node") === col("p_partkey"))
+      // Explicit broadcast of the MEMBERSHIP side: it is category-dim-
+      // sized; the fact side streams through the hash probe unshuffled
+      // (without the hint, fixture-scale stats let Spark broadcast the
+      // fact instead — the wrong side at 100 TB).
+      part(s, d).join(broadcast(members), col("p_partkey") === col("node"))
         .groupBy(col("root"))
         .agg(count(lit(1)).as("n_parts"),
           sum(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("total_cents"))

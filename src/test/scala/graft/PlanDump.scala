@@ -12,7 +12,9 @@ object PlanDump {
       "agg_histogram", "agg_argminmax", "agg_percentiles", "fn_bitwise",
       "join_bucketed_colocated", "scan_partition_pruned", "agg_skew_kurt",
       "agg_corr_stats", "win_range_numeric", "text_zipf_coverage",
-      "multimodal_chunks", "sql_tpch_q1", "sql_tpch_q3", "setop_multiset")
+      "multimodal_chunks", "sql_tpch_q1", "sql_tpch_q3", "setop_multiset",
+      "join_category_closure", "dedup_embed_cosine", "agg_approx_quantiles",
+      "agg_approx_hll", "fn_json", "proj_url_decode")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(s, d)
