@@ -87,6 +87,15 @@ object Streaming extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // The returned (lazy) df reads only `out`; the checkpoint and
+      // staged-input dirs are dead once the query terminates — clean
+      // them so repeat invocations (bench min-of-3) don't litter /tmp.
+      def rmr(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rmr(java.nio.file.Paths.get(ckpt)); rmr(in)
       s.read.parquet(out)
     }),
 

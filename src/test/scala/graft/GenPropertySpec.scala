@@ -82,6 +82,36 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("recursive categoryCount matches brute-force closure on random graphs") {
+    // The iterative broadcast-frontier closure must equal a driver-side
+    // BFS on ARBITRARY edge sets — diamonds, cycles, self-loops,
+    // disconnected parts — not just the fixtures' trees.
+    val edgesGen: Gen[List[(Int, Int)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0, 7)))
+    forAll(edgesGen) { es =>
+      import spark.implicits._
+      // One file per category c: "f<c>" with count c+1 on a fixed day.
+      val day = java.sql.Date.valueOf("2024-01-01")
+      val counts = (0 to 7).map(c => (s"f$c", day, (c + 1).toLong))
+        .toDF("file", "date", "count")
+      val members = (0 to 7).map(c => (s"cat$c", s"f$c")).toDF("category", "file")
+      val edges = es.map { case (p, c) => (s"cat$p", s"cat$c") }.toDF("parent", "child")
+      // Driver-side BFS truth.
+      val adj = es.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).toSet }
+      var seen = Set(0); var frontier = Set(0)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      val expected = seen.map(_ + 1L).sum
+      val pc = new api.Playcounts(counts)
+      val r = pc.categoryCount(members, edges, "cat0", day, day).collect()(0)
+      assert(r.getAs[Long]("total") == expected
+        && r.getAs[Long]("n_files") == seen.size.toLong,
+        s"edges=$es closure=$seen got=(${r.getAs[Long]("total")}, ${r.getAs[Long]("n_files")})")
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
