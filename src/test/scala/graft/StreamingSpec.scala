@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_batch_equiv shape converges over multiple micro-batches") {
+    // The oracle-checked key happens to drain the fixture in ONE batch;
+    // the real streaming claim is that the complete-mode foreachBatch
+    // overwrite converges to the batch answer over MANY batches — forced
+    // here with 3 files × maxFilesPerTrigger=1.
+    import spark.implicits._
+    val in  = java.nio.file.Files.createTempDirectory("graft_sbe_multi_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sbe_multi_out").toString
+    Seq((ts("2024-01-01 01:00:00"), "view", 1.5))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    Seq((ts("2024-01-01 02:00:00"), "view", 2.25), (ts("2024-01-02 01:00:00"), "click", 5.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    Seq((ts("2024-01-02 03:00:00"), "view", 4.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def shape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+        .select(col("w.start").cast("date").cast("string").as("day"),
+          col("event_type"), col("n"), col("total_cents"))
+    val q = shape(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("overwrite").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(shape(spark.read.parquet(in)))
+    assert(streamed == batch && batch.size == 3, s"streamed=$streamed batch=$batch")
+  }
+
   test("foreachBatch incremental upsert matches batch recompute") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
