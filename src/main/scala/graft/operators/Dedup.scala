@@ -298,6 +298,34 @@ object Dedup extends QueryModule {
       prefixJaccardPairs(cappedDocs, 4, 5).filter(col("jaccard") >= 0.8)
     }),
 
+    // Train/eval decontamination — the cross-corpus overlap check an LLM
+    // training pipeline runs before training: TRAIN docs (sources
+    // src0–src4) sharing ≥ 10 distinct 3-gram shingles with ANY eval doc
+    // are flagged with their absolute and fractional overlap. Same
+    // arithmetic shingle codes as the dedup family; the join shuffles
+    // 8-byte codes, never text. At 100 TB the eval side (benchmark
+    // suites) is tiny relative to the training corpus — its distinct
+    // shingle set BROADCASTS and the train side streams map-side, which
+    // is exactly what Spark plans here (eval set under the broadcast
+    // threshold); the groupBy(train_id) is the only fact-sized shuffle.
+    "dedup_decontaminate" -> ((s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val lab = documents(s, d).select(col("doc_id"), col("source"))
+      val docs = codesDS(s, d).select(col("doc_id"), col("codes"))
+        .join(lab, "doc_id")
+      val trainSh = docs.filter(col("source").isin(srcs: _*))
+        .select(col("doc_id").as("train_id"), size(col("codes")).as("nsh"),
+          explode(col("codes")).as("sh"))
+      val evalSh = docs.filter(!col("source").isin(srcs: _*))
+        .select(explode(col("codes")).as("sh")).distinct()
+      trainSh.join(evalSh, "sh")
+        .groupBy(col("train_id"), col("nsh"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .select(col("train_id"), col("n_shared"),
+          r6(col("n_shared") / col("nsh")).as("contaminated_frac"))
+    }),
+
     // Duplicate-cluster resolution: connected components over the n-gram
     // Jaccard near-dup graph (pairs alone under-report — A~B and B~C must
     // collapse to ONE cluster {A,B,C} with one survivor). Pregel-style
@@ -436,6 +464,23 @@ object Dedup extends QueryModule {
         SELECT text_sha, doc_id AS keep_id, n_copies, max_chars
         FROM ranked WHERE rn = 1 AND n_copies > 1
         ORDER BY keep_id
+      """,
+
+      "dedup_decontaminate" -> s"""
+        WITH tok AS (SELECT doc_id, source, $duckTokenCodes AS tc FROM documents),
+        docs AS (SELECT doc_id, source, $duckShingles AS codes FROM tok),
+        train_sh AS (
+          SELECT doc_id AS train_id, len(codes) AS nsh, unnest(codes) AS sh
+          FROM docs WHERE source IN ('src0','src1','src2','src3','src4')),
+        eval_sh AS (
+          SELECT DISTINCT unnest(codes) AS sh FROM docs
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        hits AS (
+          SELECT train_id, nsh, count(*) AS n_shared
+          FROM train_sh JOIN eval_sh USING (sh) GROUP BY train_id, nsh)
+        SELECT train_id, n_shared, round(n_shared / nsh, 6) AS contaminated_frac
+        FROM hits WHERE n_shared >= 10
+        ORDER BY train_id
       """,
 
       "dedup_ngram_capped" -> s"""
