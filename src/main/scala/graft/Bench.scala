@@ -43,6 +43,13 @@ object Bench {
     bench.headOption.foreach { case (k, _) =>
       try run(k) catch { case _: Throwable => () }
     }
+    // Typed-Dataset/encoder codegen warm-up: multimodal_binary is the one
+    // key on the typed mapPartitions path; its BENCH_r06 driver number
+    // (1.57 s) was 6-9x its isolated/full local min-of-3 (0.18-0.34 s,
+    // unreproducible with identical code), so pay any first-touch typed-
+    // pipeline JIT here, untimed, instead of inside a measured key.
+    if (keyFilter.forall(_("multimodal_binary")))
+      try run("multimodal_binary") catch { case _: Throwable => () }
     // min of 3 runs per key: full execution each time (noop sink), best
     // timing reported. r5 showed min-of-2 leaves ±2–4× single-key swings
     // (fn_json 0.59→2.65 s with zero code change) — a third sample makes

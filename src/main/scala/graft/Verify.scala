@@ -19,7 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional key filter for local isolation runs (mirrors Bench);
+    // the driver never sets it, so driver verifies always dump all keys.
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None     => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

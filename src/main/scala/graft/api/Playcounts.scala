@@ -74,30 +74,37 @@ final class Playcounts(counts: DataFrame) {
     * iterative broadcast-join frontier expansion (the
     * `join_category_closure` shape). Real category graphs are DAGs that
     * may contain cycles, so each round subtracts already-seen categories
-    * — the loop terminates on any graph; depth is bounded LOUDLY, and a
-    * file reachable through several subcategories still counts once
-    * (distinct before the roll-up). Category dimensions are ≪ facts at
-    * 100 TB: the closure costs O(depth) tiny broadcast joins and the
-    * counts table is touched exactly once.
+    * — the loop terminates on any graph; depth is bounded LOUDLY (callers
+    * with deeper hierarchies raise `maxDepth` — real Commons chains can
+    * exceed the default), and a file reachable through several
+    * subcategories still counts once (distinct before the roll-up).
+    * Category dimensions are ≪ facts at 100 TB: the closure costs
+    * O(depth) tiny broadcast joins over an edge dim that is materialized
+    * ONCE up front (localCheckpoint — re-broadcasting an unpersisted
+    * frame would re-scan the source every round), and the counts table
+    * is touched exactly once.
     */
   def categoryCount(members: DataFrame, edges: DataFrame, category: String,
-                    start: java.sql.Date, end: java.sql.Date): DataFrame = {
+                    start: java.sql.Date, end: java.sql.Date,
+                    maxDepth: Int = 20): DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
+    val edgeDim = edges.select(col("parent"), col("child")).localCheckpoint(true)
     var frontier = Seq(category).toDF("category").localCheckpoint(true)
     // cats = flat union of eagerly-checkpointed frontiers — depth-1 plan,
     // no checkpoint of its own needed (one job per round, not three).
     var cats = frontier
     var round = 0
-    while (!frontier.isEmpty && round < 20) {
-      frontier = frontier.join(broadcast(edges), col("category") === col("parent"))
+    while (!frontier.isEmpty && round < maxDepth) {
+      frontier = frontier.join(broadcast(edgeDim), col("category") === col("parent"))
         .select(col("child").as("category")).distinct()
         .except(cats).localCheckpoint(true)
       cats = cats.union(frontier)
       round += 1
     }
     require(frontier.isEmpty,
-      s"category closure did not terminate within $round rounds")
+      s"category closure did not terminate within $round rounds; " +
+        s"raise maxDepth (currently $maxDepth) for deeper hierarchies")
     val files = members.join(broadcast(cats), Seq("category"))
       .select(col("file")).distinct()
     rollup(files, category, start, end)

@@ -216,8 +216,17 @@ object Joins extends QueryModule {
       // needs no checkpoint of its own — one Spark job per round, not
       // three (the frontier checkpoint is itself the round's action).
       var members = frontier
+      // Round bound DERIVED from the persisted edge dim, not hard-coded
+      // (r6 ADVICE: a fixed 12 aborts the closure past p_partkey ≈ 4¹² —
+      // TPC-H SF ≈ 84, exactly the scale regime this targets). Depth of
+      // the 4-ary arithmetic tree from roots {1,2,3} to key k is
+      // ⌈log₄ k⌉; +1 spare round lets the loop OBSERVE the empty frontier
+      // so the require below never fires on a complete closure.
+      val maxKey = edges.agg(max(col("child"))).head.getLong(0)
+      val maxRounds =
+        math.ceil(math.log(math.max(maxKey, 4).toDouble) / math.log(4)).toInt + 1
       var round = 0
-      while (!frontier.isEmpty && round < 12) {
+      while (!frontier.isEmpty && round < maxRounds) {
         frontier = frontier.join(broadcast(edges), col("node") === col("parent"))
           .select(col("root"), col("child").as("node"))
           .localCheckpoint(true)
@@ -225,10 +234,9 @@ object Joins extends QueryModule {
         round += 1
       }
       // A silently-truncated closure would under-count every root's
-      // subtree — fail loudly instead. Depth of a 4-ary tree over n keys
-      // is ⌈log₄ n⌉: 12 rounds covers n up to 4¹² ≈ 1.6×10⁷ categories.
+      // subtree — fail loudly instead.
       require(frontier.isEmpty,
-        s"category closure did not converge within $round rounds")
+        s"category closure did not converge within $round rounds (edge max key $maxKey)")
       // members is checkpoint-materialized (lineage-free), so dropping
       // the edge cache cannot force recomputation through it.
       edges.unpersist()

@@ -110,6 +110,60 @@ object Relational extends QueryModule {
            count(*) AS count_order
     FROM b GROUP BY l_returnflag, l_linestatus"""
 
+  /** TPC-H Q5-shaped 5-way star join (region-filtered revenue by nation),
+    * one SQL text for BOTH engines. Exercises ReorderJoin/CBO breadth:
+    * six relations, two dim filters (region name + order-date window) and
+    * the c_nationkey = s_nationkey "local supplier" theta that makes join
+    * order actually matter. Money math on exact integer cents (q1 recipe)
+    * so partial-sum order can't perturb the rounded output. At 100 TB the
+    * right plan broadcasts region→nation→supplier and shuffles only
+    * orders⨝lineitem⨝customer on their keys — small dims never shuffle
+    * the fact side more than once.
+    */
+  private def tpchQ5Sql(customer: String, orders: String, lineitem: String,
+                        supplier: String, nation: String, region: String): String = s"""
+    WITH b AS (
+      SELECT n_name,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc
+      FROM $customer
+           JOIN $orders   ON c_custkey = o_custkey
+           JOIN $lineitem ON l_orderkey = o_orderkey
+           JOIN $supplier ON l_suppkey = s_suppkey
+           JOIN $nation   ON s_nationkey = n_nationkey
+           JOIN $region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND c_nationkey = s_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT n_name,
+           round(CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 4)
+             AS revenue,
+           count(*) AS n_items
+    FROM b GROUP BY n_name"""
+
+  /** TPC-H Q17-shaped correlated SCALAR aggregate subquery (small-quantity
+    * orders below 20% of the per-part average), one SQL text for BOTH
+    * engines. Exercises RewriteCorrelatedScalarSubquery — Catalyst
+    * decorrelates the per-part avg into an aggregate + join instead of a
+    * per-row subplan (the only execution shape that survives 100 TB; a
+    * correlated re-scan per row is quadratic). The predicate is engine-
+    * deterministic without cents: l_quantity is integer-valued, so the
+    * per-part double sum is exact (< 2^53) and avg/0.2· are single IEEE
+    * ops; the money output sums exact cents per the q1 recipe.
+    */
+  private def tpchQ17Sql(lineitem: String, part: String): String = s"""
+    SELECT p_brand,
+           count(*) AS n_small,
+           round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / 7.0, 4)
+             AS avg_yearly
+    FROM $lineitem JOIN $part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23')
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM $lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -259,8 +313,13 @@ object Relational extends QueryModule {
         .agg(countDistinct(col("user_id")).as("n_users_exact"),
           approx_count_distinct(col("user_id"), 0.02).as("approx"))
         .select(col("event_type"), col("n_users_exact"),
-          (abs(col("approx") - col("n_users_exact")).cast("double")
-            / col("n_users_exact") <= 0.05).as("within_5pct"))
+          // exact=0 guard (r6 ADVICE): a group whose user_id values are
+          // all NULL has exact=0 → 0/0 verdict NULL, but the oracle emits
+          // literal TRUE. Both sketches agree 0≈0, so TRUE is the honest
+          // verdict there too.
+          (col("n_users_exact") === 0
+            || abs(col("approx") - col("n_users_exact")).cast("double")
+               / col("n_users_exact") <= 0.05).as("within_5pct"))
     }),
 
     // argmax/argmin per group: WHICH row holds the extreme, not just the
@@ -410,6 +469,25 @@ object Relational extends QueryModule {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
       """)
+    }),
+
+    // 5-way star join (Q5 shape) — see tpchQ5Sql.
+    "sql_tpch_q5" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_q5")
+      orders(s, d).createOrReplaceTempView("orders_q5")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q5")
+      supplier(s, d).createOrReplaceTempView("supplier_q5")
+      nation(s, d).createOrReplaceTempView("nation_q5")
+      region(s, d).createOrReplaceTempView("region_q5")
+      s.sql(tpchQ5Sql("customer_q5", "orders_q5", "lineitem_q5",
+        "supplier_q5", "nation_q5", "region_q5"))
+    }),
+
+    // Correlated scalar aggregate subquery (Q17 shape) — see tpchQ17Sql.
+    "sql_tpch_q17" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+      part(s, d).createOrReplaceTempView("part_q17")
+      s.sql(tpchQ17Sql("lineitem_q17", "part_q17"))
     }),
 
     // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
@@ -609,6 +687,32 @@ object Relational extends QueryModule {
       s.read.parquet(path)
         .filter(col("day").between(lit(java.sql.Date.valueOf("2024-01-05")),
           lit(java.sql.Date.valueOf("2024-01-09"))))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
+    }),
+
+    // DYNAMIC partition pruning — the 100 TB star-join read path
+    // (scan_partition_pruned proves only STATIC pruning). The fact is the
+    // same day-partitioned layout; the dim filter (days with an odd event
+    // count) is NOT a literal predicate on the partition column, so no
+    // static prune applies — instead the broadcast side's day set is fed
+    // into the fact scan as a dynamicpruningexpression in PartitionFilters
+    // (PlanSpec asserts it), and non-matching day directories are never
+    // read. reuseBroadcastOnly (default) makes the pruning subquery free:
+    // it reuses the join's own broadcast.
+    "scan_dpp" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_events_by_day_$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        events(s, d).withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+      val dim = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+        .filter(col("n_day") % 2 === 1)
+        .select(col("day"))
+      s.read.parquet(path)
+        .join(broadcast(dim), Seq("day"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
     })
@@ -842,6 +946,13 @@ object Relational extends QueryModule {
     "sql_tpch_q1" ->
       (tpchQ1Sql("lineitem") + "\n      ORDER BY l_returnflag, l_linestatus"),
 
+    "sql_tpch_q5" ->
+      (tpchQ5Sql("customer", "orders", "lineitem", "supplier", "nation", "region")
+        + "\n      ORDER BY n_name"),
+
+    "sql_tpch_q17" ->
+      (tpchQ17Sql("lineitem", "part") + "\n      ORDER BY p_brand"),
+
     "sql_tpch_q3" -> """
       SELECT l_orderkey,
              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -957,6 +1068,17 @@ object Relational extends QueryModule {
       FROM events
       WHERE CAST(date_trunc('day', ts) AS DATE)
               BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "scan_dpp" -> """
+      WITH dim AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events GROUP BY 1 HAVING count(*) % 2 = 1)
+      SELECT e.day, e.event_type, count(*) AS n, round(sum(e.value), 4) AS total
+      FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value
+            FROM events) e
+      JOIN dim ON e.day = dim.day
       GROUP BY 1, 2 ORDER BY 1, 2
     """
   )

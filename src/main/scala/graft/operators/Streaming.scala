@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
 object Streaming extends QueryModule {
   import T._
 
+  private def rmr(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Temp dir that outlives the returned lazy DataFrame (the streaming
+    * sink's output must stay readable until the caller's action runs) but
+    * is reaped at JVM exit — repeat invocations (bench min-of-3) would
+    * otherwise leak one dir per run (r6 ADVICE).
+    */
+  private def tempDirReapedAtExit(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook { try rmr(p) catch { case _: Throwable => () } }
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Daily tumbling window ≡ the reference's per-day batch roll-up.
     "stream_tumbling_daily" -> ((s, d) => {
@@ -59,43 +77,127 @@ object Streaming extends QueryModule {
       // (ts arrives as raw nanos long under nanosAsLong — see T.events).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val out  = java.nio.file.Files.createTempDirectory("graft_sbe_out").toString
+      val out  = tempDirReapedAtExit("graft_sbe_out")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sbe_ckpt").toString
       // The file stream source watches a DIRECTORY (its real contract:
       // log files landing in a drop folder); the fixture is a single
       // file, so stage it into one via symlink — read-only, zero copy.
       val in = java.nio.file.Files.createTempDirectory("graft_sbe_in")
-      java.nio.file.Files.createSymbolicLink(
-        in.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-      val agg = s.readStream.schema(schema).parquet(in.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("total_cents"))
-        .select(col("w.start").cast("date").as("day"), col("event_type"),
-          col("n"), col("total_cents"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        // Complete-mode foreachBatch: each trigger delivers the full
-        // updated aggregate; the idempotent overwrite is the exactly-once
-        // upsert analog (a real deployment would MERGE day-partitions).
-        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          bdf.write.mode("overwrite").parquet(out)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // The returned (lazy) df reads only `out`; the checkpoint and
-      // staged-input dirs are dead once the query terminates — clean
-      // them so repeat invocations (bench min-of-3) don't litter /tmp.
-      def rmr(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Checkpoint + staged input are dead once the query terminates;
+      // remove them even when the streaming run throws (r6 ADVICE: a
+      // failure before cleanup leaked all three dirs).
+      try {
+        java.nio.file.Files.createSymbolicLink(
+          in.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val agg = s.readStream.schema(schema).parquet(in.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+          .select(col("w.start").cast("date").as("day"), col("event_type"),
+            col("n"), col("total_cents"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          // Complete-mode foreachBatch: each trigger delivers the full
+          // updated aggregate; the idempotent overwrite is the exactly-once
+          // upsert analog (a real deployment would MERGE day-partitions).
+          .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            bdf.write.mode("overwrite").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        rmr(java.nio.file.Paths.get(ckpt)); rmr(in)
       }
-      rmr(java.nio.file.Paths.get(ckpt)); rmr(in)
+      s.read.parquet(out)
+    }),
+
+    // Watermark late-data semantics, driver-checked: the events table is
+    // staged as THREE arrival files — on-time rows (ts ≥ Jan 10) land
+    // first, then a mid file (Jan 5 ≤ ts < Jan 10), then a truly-late file
+    // (ts < Jan 5). maxFilesPerTrigger=1 + AvailableNow processes them as
+    // three micro-batches. Spark 4 runs append aggregation on the TWO-
+    // WATERMARK model: the late-events filter uses the PREVIOUS batch's
+    // watermark while eviction/emission uses the current one — so batch 1
+    // (mid) still passes the stale initial watermark and is aggregated +
+    // emitted, but batch 2 (late) hits lateEvents wm = max(on-time ts) − 1h
+    // and every row is DROPPED (verified empirically: 1362 dropped rows at
+    // sf0.01, batch 2 emits nothing). Append mode emits exactly the
+    // surviving day windows whose end ≤ final watermark (the last open day
+    // stays in state, unemitted — AvailableNow does not flush open
+    // windows). The oracle reproduces both rules in batch SQL: aggregate
+    // rows ts ≥ Jan 5 only, keep windows with end ≤ max(on-time ts) − 1 h.
+    // Aggregates are integer-exact so micro-batch merge order can't
+    // perturb parity. At 100 TB this is THE ingest correctness contract:
+    // bounded state via watermark, deterministic lateness cutoff, no
+    // double-emits for closed windows.
+    "stream_late_drop" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+      val mid    = lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+      val out  = tempDirReapedAtExit("graft_sld_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sld_ckpt").toString
+      // The three arrival files are a pure function of the fixture: stage
+      // them ONCE per sf into a marker-guarded fixed dir (the
+      // scan_partition_pruned recipe) and reuse across invocations — only
+      // the checkpoint must be fresh per run (a reused one would replay
+      // "already processed" and emit nothing). Staged as plain micro-
+      // TIMESTAMP parquet via T.events, so the stream schema needs no
+      // nanos shim; mtimes are set explicitly 60 s apart because the file
+      // source orders pending files by modification time and all three
+      // writes land within the same ms.
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val in = s"/tmp/graft_sld_in_$tag"
+      try {
+        if (!new java.io.File(s"$in/_STAGED").exists()) {
+          val stage = java.nio.file.Files.createTempDirectory("graft_sld_stage")
+          new java.io.File(in).mkdirs()
+          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
+                        mtime: Long): Unit = {
+            val tmp = s"$stage/$name"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
+            java.nio.file.Files.move(part, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+          val ev = events(s, d)
+          val t0 = System.currentTimeMillis() - 180000
+          stageFile(ev.filter(col("ts") >= cutoff), "0_ontime", t0)
+          stageFile(ev.filter(col("ts") >= mid && col("ts") < cutoff), "1_mid", t0 + 60000)
+          stageFile(ev.filter(col("ts") < mid), "2_late", t0 + 120000)
+          rmr(stage)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
+        }
+        val schema = s.read.parquet(s"$in/0_ontime.parquet").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+          .select(col("w.start").cast("date").as("day"), col("event_type"),
+            col("n"), col("total_cents"))
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        // Only the checkpoint is per-run garbage; the staged input dir is
+        // the reusable per-sf fixture.
+        rmr(java.nio.file.Paths.get(ckpt))
+      }
       s.read.parquet(out)
     }),
 
@@ -136,6 +238,27 @@ object Streaming extends QueryModule {
              count(*) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+
+    // Batch restatement of the streaming run's TWO rules: (1) the truly-
+    // late file (ts < Jan 5, arriving after the watermark advanced past
+    // it) is excluded — the mid file still passes the one-batch-lagging
+    // lateEvents watermark; (2) append mode emits only day windows whose
+    // end ≤ final watermark = max(on-time ts) − 1 h.
+    "stream_late_drop" -> """
+      WITH kept AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'),
+      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
+      g AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM kept GROUP BY 1, 2)
+      SELECT day, event_type, n, total_cents
+      FROM g, wm
+      WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+      ORDER BY day, event_type
     """,
 
     "stream_session_5m" -> """

@@ -229,11 +229,21 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("token")).agg(count(lit(1)).as("tf"))
       val total = tf.agg(sum(col("tf")).as("total"))
       val top = tf.orderBy(desc("tf"), col("token")).limit(30)
-      val w = Window.orderBy(desc("tf"), col("token"))
+      // Constant partition key: the window input is the bounded top-30,
+      // so one partition IS the plan — declaring it explicitly (instead
+      // of an empty partition spec) keeps WindowExec's "moving all data
+      // to a single partition" WARN out of every bench/driver log tail.
+      // NOT a bare literal: ConstantFolding (plus the null-aware x*0
+      // simplification on the non-nullable count) erases literal-valued
+      // specs back to empty; pmod(tf,1) is constant 0 per row but opaque
+      // to the simplifier.
+      val onePart = pmod(col("tf"), lit(1))
+      val w = Window.partitionBy(onePart).orderBy(desc("tf"), col("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.crossJoin(broadcast(total))
         .select(
-          row_number().over(Window.orderBy(desc("tf"), col("token"))).as("rank"),
+          row_number().over(
+            Window.partitionBy(onePart).orderBy(desc("tf"), col("token"))).as("rank"),
           col("token"), col("tf"),
           r6(sum(col("tf")).over(w) / col("total")).as("cum_share"))
     }),

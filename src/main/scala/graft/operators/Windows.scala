@@ -100,22 +100,41 @@ object Windows extends QueryModule {
     // time ranges): all purchases within 10.0 of this purchase's value.
     // Peer rows are in-frame by definition, so ties are deterministic;
     // the banded sum runs over exact integer centi-values because
-    // windowed double accumulation order differs per engine. Scoped to
-    // one event_type: Spark evaluates sliding frames by recomputing the
-    // aggregate per row (no retraction), so cost is O(rows × frame) —
-    // the scale formulation for wide bands is a bucketed self-join
-    // (join_theta_range), not a window.
+    // windowed double accumulation order differs per engine.
+    //
+    // Scale plan (replaces r1–r6's unpartitioned global window, which
+    // moved EVERY row to one partition — the WindowExec WARN in old bench
+    // tails): partition by a value bucket exactly one band wide
+    // (10.0 = 1000 centi-units), and union in a "carry-in" copy of each
+    // row shifted to bucket+1 so frames that straddle the bucket start
+    // still see their predecessors. Carry-ins contribute to other rows'
+    // frames but are filtered out of the result. Coverage proof is
+    // integer-exact on vc (no FP-at-boundary hazard): round is monotone,
+    // so a contributor with value ≤ v_anchor has vc ≤ vc_anchor ⇒
+    // bkt ≤ B, and value ≥ v_anchor − 10 ⇒ vc ≥ vc_anchor − 1000 ⇒
+    // bkt ≥ B − 1 — every in-frame row lives in {B−1, B}, i.e. is an
+    // anchor or a carry-in of partition B. One hash shuffle on bkt, a
+    // per-bucket sort, 2× row duplication of a 3-column projection —
+    // parallelism scales with the value range instead of collapsing to 1.
     "win_range_numeric" -> ((s, d) => {
-      events(s, d)
+      val base = events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value"),
           expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-        .select(col("event_id"), col("value"),
-          expr("""count(*) OVER (ORDER BY value
+        .withColumn("bkt", expr("CAST(floor(vc / 1000.0) AS BIGINT)"))
+      val anchors = base.withColumn("is_anchor", lit(true))
+      val carryIn = base
+        .withColumn("bkt", col("bkt") + 1)
+        .withColumn("is_anchor", lit(false))
+      anchors.unionByName(carryIn)
+        .select(col("event_id"), col("value"), col("is_anchor"),
+          expr("""count(*) OVER (PARTITION BY bkt ORDER BY value
                   RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""").as("band_n"),
-          r2(expr("""sum(vc) OVER (ORDER BY value
+          r2(expr("""sum(vc) OVER (PARTITION BY bkt ORDER BY value
                      RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""") / 100.0)
             .as("band_sum"))
+        .filter(col("is_anchor"))
+        .select(col("event_id"), col("value"), col("band_n"), col("band_sum"))
     }),
 
     // first_value/last_value with an explicit full-partition frame (the

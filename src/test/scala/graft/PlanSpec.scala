@@ -117,4 +117,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.toLowerCase.contains("broadcastnestedloop"),
       "minhash candidate generation must be an equi-join on band key")
   }
+
+  test("scan_dpp prunes fact partitions dynamically from the dim filter") {
+    // The dim predicate (odd per-day count) is not a literal on the
+    // partition column, so only DYNAMIC pruning can skip day directories:
+    // the broadcast side's day set must appear in the fact scan's
+    // PartitionFilters as a dynamicpruningexpression.
+    val p = plan("scan_dpp").toLowerCase
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in fact scan:\n$p")
+  }
+
+  test("win_range_numeric never plans a single-partition global window") {
+    // r1-r6 shipped an unpartitioned RANGE window (WindowExec moves ALL
+    // rows to one partition — the scale killer the bench WARN flagged);
+    // the bucketed carry-in rewrite must keep every Window partitioned.
+    val p = plan("win_range_numeric")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(value"),
+      "window must be partitioned by the value bucket")
+    assert(p.contains("PARTITION BY") || p.contains("hashpartitioning(bkt"),
+      s"expected bkt-partitioned window exchange in:\n$p")
+  }
 }
