@@ -118,7 +118,12 @@ object Relational extends QueryModule {
     * so partial-sum order can't perturb the rounded output. At 100 TB the
     * right plan broadcasts region→nation→supplier and shuffles only
     * orders⨝lineitem⨝customer on their keys — small dims never shuffle
-    * the fact side more than once.
+    * the fact side more than once. The key deliberately carries NO join
+    * hints: hints pin ReorderJoin (defeating the point of the key), and
+    * build-side choice is size-based — fixture stats broadcast everything
+    * (correct at MBs), real 100 TB stats shuffle the three big tables and
+    * broadcast only region/nation/supplier, with AQE re-checking at run
+    * time.
     */
   private def tpchQ5Sql(customer: String, orders: String, lineitem: String,
                         supplier: String, nation: String, region: String): String = s"""

@@ -115,4 +115,20 @@ class ApiSpec extends AnyFunSuite {
     val flat = pc.categoryCount(members, "Media", day1, day2).collect()(0)
     assert(flat.getAs[Long]("total") == 0L && flat.getAs[Long]("n_files") == 0L)
   }
+
+  test("categoryCount maxDepth: default rejects deeper chains, raised accepts") {
+    import spark.implicits._
+    // A 25-deep chain cat0 → cat1 → … → cat25; only the leaf has a member.
+    val members = Seq(("cat25", "Cat video.webm")).toDF("category", "file")
+    val edges = (0 until 25).map(i => (s"cat$i", s"cat${i + 1}"))
+      .toDF("parent", "child")
+    val pc = new api.Playcounts(counts)
+    val e = intercept[IllegalArgumentException] {
+      pc.categoryCount(members, edges, "cat0", day1, day2).collect()
+    }
+    assert(e.getMessage.contains("maxDepth"))
+    val deep = pc.categoryCount(members, edges, "cat0", day1, day2, maxDepth = 30)
+      .collect()(0)
+    assert(deep.getAs[Long]("total") == 22L && deep.getAs[Long]("n_files") == 1L)
+  }
 }

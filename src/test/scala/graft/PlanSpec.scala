@@ -118,6 +118,17 @@ class PlanSpec extends AnyFunSuite {
       "minhash candidate generation must be an equi-join on band key")
   }
 
+  test("sql_tpch_q17 decorrelates the scalar subquery into one aggregate") {
+    // The per-part avg must run as ONE aggregate + join (the decorrelated
+    // shape), never a per-outer-row subplan: no nested-loop join, and the
+    // avg appears in a hash aggregate feeding an equi-join.
+    val p = plan("sql_tpch_q17")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "correlated scalar subquery must decorrelate to an equi-join")
+    assert(p.contains("avg(l_quantity"),
+      s"expected a decorrelated avg aggregate in:\n$p")
+  }
+
   test("scan_dpp prunes fact partitions dynamically from the dim filter") {
     // The dim predicate (odd per-day count) is not a literal on the
     // partition column, so only DYNAMIC pruning can skip day directories:
