@@ -112,6 +112,39 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed carry-in range window equals brute-force band aggregate") {
+    // The win_range_numeric re-plan (round 7) rests on a coverage proof:
+    // partitioning by a band-width centi-value bucket plus one carry-in
+    // copy per row sees EXACTLY the rows with value in [v-10, v]. Check
+    // the whole pipeline against an O(n²) brute force on random values,
+    // including negatives (floor-division bucketing) and exact ties.
+    val valsGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(-3000, 3000).map(_ / 100.0))
+    forAll(valsGen) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("event_id", "value")
+        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("bkt", expr("CAST(floor(vc / 1000.0) AS BIGINT)"))
+      val anchors = df.withColumn("is_anchor", lit(true))
+      val carry = df.withColumn("bkt", $"bkt" + 1).withColumn("is_anchor", lit(false))
+      val got = anchors.unionByName(carry)
+        .select($"event_id", $"is_anchor",
+          expr("""count(*) OVER (PARTITION BY bkt ORDER BY value
+                  RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""").as("band_n"),
+          expr("""sum(vc) OVER (PARTITION BY bkt ORDER BY value
+                  RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""").as("band_cents"))
+        .filter($"is_anchor")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      vals.zipWithIndex.foreach { case (v, i) =>
+        val inBand = vals.filter(u => u >= v - 10.0 && u <= v)
+        val want = (inBand.size.toLong, inBand.map(u => math.round(u * 100)).sum)
+        assert(got(i.toLong) == want,
+          s"row $i v=$v: got ${got(i.toLong)}, want $want over $vals")
+      }
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
