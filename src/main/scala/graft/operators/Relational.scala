@@ -169,6 +169,83 @@ object Relational extends QueryModule {
                         WHERE l2.l_partkey = p_partkey)
     GROUP BY p_brand"""
 
+  /** TPC-H Q18-shaped large-volume-order query, one SQL text for BOTH
+    * engines. Exercises the IN-subquery-over-aggregate path: the HAVING
+    * aggregate plans BELOW a left-semi join (RewritePredicateSubquery),
+    * so at 100 TB the order-volume rollup is one two-phase hash agg on
+    * l_orderkey and the semi probe shuffles only the qualifying keys —
+    * never a per-order correlated re-scan. Quantities are integer-valued
+    * (Q1 recipe), so the HAVING threshold compare is exact.
+    */
+  private def tpchQ18Sql(customer: String, orders: String,
+                         lineitem: String): String = s"""
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 4) AS totalprice,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM $customer
+         JOIN $orders   ON c_custkey = o_custkey
+         JOIN $lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM $lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice"""
+
+  /** TPC-H Q21-shaped waiting-supplier query, one SQL text for BOTH
+    * engines. The distinctive optimizer shape: EXISTS and NOT EXISTS both
+    * correlate against the SAME fact table as the outer block (lineitem
+    * ⨝ lineitem semi + anti on l_orderkey with an inequality residual) —
+    * Catalyst must decorrelate two subqueries into one left-semi and one
+    * left-anti join stacked over the 3-way star, and all three lineitem
+    * legs shuffle on the same l_orderkey key (exchange reuse). The fixture
+    * has no commit/receipt dates, so "kept the order waiting" is modeled
+    * on the return flag: supplier's own line returned ('R') while no other
+    * supplier's line on the order was.
+    */
+  private def tpchQ21Sql(supplier: String, lineitem: String, orders: String,
+                         nation: String): String = s"""
+    SELECT s_name, count(*) AS numwait
+    FROM $supplier
+         JOIN $lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN $orders       ON o_orderkey = l1.l_orderkey
+         JOIN $nation       ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+      AND EXISTS (SELECT 1 FROM $lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM $lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name"""
+
+  /** TPC-H Q22-shaped global-relation query, one SQL text for BOTH
+    * engines. Exercises UNCORRELATED scalar subqueries (the whole-table
+    * mean as a 1-row broadcast feeding a filter — no join key at all)
+    * plus a NOT EXISTS anti join. The above-average test runs in exact
+    * integer cents cross-multiplied by the count (bal·n > Σbal) instead
+    * of avg() — Spark's Average over integral input keeps DOUBLE partial
+    * sums, whose merge order would make the threshold nondeterministic
+    * at the boundary; products of exact BIGINTs cannot disagree.
+    */
+  private def tpchQ22Sql(customer: String, orders: String): String = s"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM $customer)
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(CAST(sum(CAST(bal_c AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 4)
+             AS totacctbal
+    FROM c
+    WHERE bal_c * (SELECT count(*) FROM c WHERE bal_c > 0)
+            > (SELECT sum(bal_c) FROM c WHERE bal_c > 0)
+      AND NOT EXISTS (SELECT 1 FROM $orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -493,6 +570,33 @@ object Relational extends QueryModule {
       lineitem(s, d).createOrReplaceTempView("lineitem_q17")
       part(s, d).createOrReplaceTempView("part_q17")
       s.sql(tpchQ17Sql("lineitem_q17", "part_q17"))
+    }),
+
+    // IN-subquery over a grouped HAVING (Q18 shape) — see tpchQ18Sql.
+    "sql_tpch_q18" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_q18")
+      orders(s, d).createOrReplaceTempView("orders_q18")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q18")
+      s.sql(tpchQ18Sql("customer_q18", "orders_q18", "lineitem_q18"))
+    }),
+
+    // Dual same-table EXISTS/NOT EXISTS correlation (Q21 shape) — see
+    // tpchQ21Sql.
+    "sql_tpch_q21" -> ((s, d) => {
+      supplier(s, d).createOrReplaceTempView("supplier_q21")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q21")
+      orders(s, d).createOrReplaceTempView("orders_q21")
+      nation(s, d).createOrReplaceTempView("nation_q21")
+      s.sql(tpchQ21Sql("supplier_q21", "lineitem_q21", "orders_q21",
+        "nation_q21"))
+    }),
+
+    // Uncorrelated scalar subqueries + anti join (Q22 shape) — see
+    // tpchQ22Sql.
+    "sql_tpch_q22" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_q22")
+      orders(s, d).createOrReplaceTempView("orders_q22")
+      s.sql(tpchQ22Sql("customer_q22", "orders_q22"))
     }),
 
     // Correlated EXISTS subquery (decorrelated by Catalyst into a join) —
@@ -957,6 +1061,17 @@ object Relational extends QueryModule {
 
     "sql_tpch_q17" ->
       (tpchQ17Sql("lineitem", "part") + "\n      ORDER BY p_brand"),
+
+    "sql_tpch_q18" ->
+      (tpchQ18Sql("customer", "orders", "lineitem")
+        + "\n      ORDER BY o_orderkey"),
+
+    "sql_tpch_q21" ->
+      (tpchQ21Sql("supplier", "lineitem", "orders", "nation")
+        + "\n      ORDER BY s_name"),
+
+    "sql_tpch_q22" ->
+      (tpchQ22Sql("customer", "orders") + "\n      ORDER BY cntrycode"),
 
     "sql_tpch_q3" -> """
       SELECT l_orderkey,

@@ -28,6 +28,37 @@ object TextAnalysis extends QueryModule {
 
   private val P = 2147483647L
 
+  /** Misra-Gries frequency summary with k counters: streams `tokens` in
+    * one pass with O(k) memory and returns (token, lower_count) for the
+    * surviving counters. Guarantee (the basis of text_heavy_hitters'
+    * exactness, property-tested in GenPropertySpec): every token's true
+    * count f satisfies m ≤ f ≤ m + n/(k+1), where n is the stream length
+    * and m its surviving count (0 if evicted) — so any token with
+    * f > n/(k+1) is guaranteed to survive.
+    */
+  private[graft] def misraGries(tokens: Iterator[String],
+                                k: Int): Iterator[(String, Long)] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    tokens.foreach { tok =>
+      if (counters.contains(tok) || counters.size < k)
+        counters.update(tok, counters.getOrElse(tok, 0L) + 1L)
+      else {
+        // Eviction: decrement every counter, drop zeros; the arriving
+        // token is NOT counted. O(k) amortized over ≥k arrivals between
+        // evictions.
+        val ks = counters.keysIterator.toArray
+        var i = 0
+        while (i < ks.length) {
+          val v = counters(ks(i)) - 1L
+          if (v == 0L) counters.remove(ks(i))
+          else counters.update(ks(i), v)
+          i += 1
+        }
+      }
+    }
+    counters.iterator
+  }
+
   private def sparkCode(x: String): String =
     s"aggregate(transform(split($x, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % $P)"
   private def duckCode(x: String): String =
@@ -264,6 +295,50 @@ object TextAnalysis extends QueryModule {
           (id, fpFull, fpMin, fpFull % 1024)
         })
         .toDF("doc_id", "fp_full", "fp_min_shingle", "fp_bucket")
+    }),
+
+    // Heavy hitters (tokens above 1/500 of the corpus) by the two-pass
+    // scheme that survives 100 TB: pass 1 runs Misra-Gries with K=2048
+    // counters PER PARTITION inside one mapPartitions — fixed memory no
+    // matter how large the vocabulary — and keeps only merged candidates
+    // that could still clear the threshold; pass 2 recounts exactly the
+    // candidate tokens (a broadcast semi-probe: the full token stream
+    // never shuffles — only candidate matches reach the hash agg).
+    //
+    // The result is EXACT, not approximate, hence hash-checkable: MG
+    // guarantees per-partition undercount ≤ n_p/(K+1), so the summed
+    // merged count m(x) satisfies f(x) − N/(K+1) ≤ m(x) ≤ f(x); any
+    // token with f > N/500 therefore has m > N/500 − N/(K+1), which is
+    // precisely the candidate filter below (cross-multiplied in exact
+    // BIGINTs) — candidates ⊇ true heavy hitters, and the exact recount
+    // removes false positives. Candidate count is bounded by
+    // N / (N/500 − N/2049) < 662 regardless of data size, so the
+    // broadcast is always tiny.
+    "text_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val K = 2048
+      val docs = documents(s, d).select(col("text"))
+      // Exact corpus token total: map-side agg to ONE row, broadcast below.
+      val tot = docs
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+      val candidates = docs.as[String]
+        .mapPartitions(it =>
+          misraGries(it.flatMap(_.split(" ", -1).iterator), K))
+        .toDF("token", "mg_count")
+        .groupBy(col("token")).agg(sum(col("mg_count")).as("m"))
+        .crossJoin(broadcast(tot))
+        // m > N/500 − N/(K+1), exact: m·500·(K+1) > N·(K+1−500).
+        .filter(col("m") * lit(500L * (K + 1)) >
+          col("n_tok") * lit((K + 1 - 500).toLong))
+        .select(col("token"))
+      docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(candidates), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("freq") * 500 > col("n_tok"))
+        .select(col("token"), col("freq"),
+          r6(col("freq").cast("double") / col("n_tok")).as("share"))
     })
   )
 
@@ -399,6 +474,18 @@ object TextAnalysis extends QueryModule {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                      / (SELECT CAST(sum(tf) AS DOUBLE) FROM tf), 6) AS cum_share
         FROM top ORDER BY rank
+      """,
+
+      "text_heavy_hitters" -> """
+        WITH tc AS (
+          SELECT token, count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tok FROM tc)
+        SELECT token, freq, round(CAST(freq AS DOUBLE) / n_tok, 6) AS share
+        FROM tc, tot
+        WHERE freq * 500 > n_tok
+        ORDER BY freq DESC, token
       """,
 
       "text_fingerprint" -> s"""

@@ -145,6 +145,31 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries summary obeys its undercount bound on random streams") {
+    // text_heavy_hitters' exactness rests entirely on this guarantee:
+    // for every token, m ≤ f ≤ m + n/(k+1) (m = surviving count, 0 if
+    // evicted), hence any token with f > n/(k+1) survives. Check on
+    // random Zipf-ish streams with k SMALLER than the vocabulary so
+    // evictions actually happen.
+    val streamGen: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.frequency(8 -> Gen.oneOf("a", "b"), 3 -> Gen.oneOf("c", "d", "e"),
+        1 -> Gen.oneOf((0 to 25).map(i => s"t$i"))))
+    forAll(streamGen, Gen.chooseNum(2, 6)) { (toks, k) =>
+      val m = operators.TextAnalysis.misraGries(toks.iterator, k).toMap
+      val f = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val bound = toks.size.toLong / (k + 1)
+      f.foreach { case (t, ft) =>
+        val mt = m.getOrElse(t, 0L)
+        assert(mt <= ft && ft <= mt + bound,
+          s"token $t: f=$ft m=$mt bound=$bound k=$k stream=$toks")
+        if (ft > bound) assert(m.contains(t),
+          s"token $t with f=$ft > n/(k+1)=$bound must survive; stream=$toks")
+      }
+      // Survivors never exceed k counters.
+      assert(m.size <= k)
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._

@@ -15,7 +15,8 @@ object PlanDump {
       "multimodal_chunks", "sql_tpch_q1", "sql_tpch_q3", "setop_multiset",
       "join_category_closure", "dedup_embed_cosine", "agg_approx_quantiles",
       "agg_approx_hll", "fn_json", "proj_url_decode",
-      "sql_tpch_q5", "sql_tpch_q17", "scan_dpp")
+      "sql_tpch_q5", "sql_tpch_q17", "scan_dpp",
+      "sql_tpch_q18", "sql_tpch_q21", "sql_tpch_q22", "text_heavy_hitters")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(s, d)

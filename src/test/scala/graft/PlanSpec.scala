@@ -149,4 +149,87 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PARTITION BY") || p.contains("hashpartitioning(bkt"),
       s"expected bkt-partitioned window exchange in:\n$p")
   }
+
+  test("sql_tpch_q18 plans the HAVING aggregate below a left-semi join") {
+    // The IN-subquery must become a semi join whose build side is the
+    // grouped order-volume aggregate (RewritePredicateSubquery) — never a
+    // per-order correlated re-scan. The volume rollup itself must be a
+    // two-phase hash agg over a 2-column lineitem read.
+    val p = plan("sql_tpch_q18")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join in:\n$p")
+    assert(p.contains("partial_sum(cast(l_quantity"),
+      s"expected a partial (map-side) volume aggregate in:\n$p")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "IN-subquery must plan as an equi semi join")
+  }
+
+  test("sql_tpch_q21 decorrelates both subqueries into semi and anti joins") {
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both equi on l_orderkey
+    // with the <> supplier residual as the join condition — stacked over
+    // the same filtered lineitem leg, never a nested-loop per row.
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi for EXISTS in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti for NOT EXISTS in:\n$p")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "correlated EXISTS/NOT EXISTS must decorrelate to equi joins")
+    // The 'R'-flag pushdown must reach both the outer leg and the anti leg.
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter must push to the parquet scan:\n$p")
+  }
+
+  test("sql_tpch_q22 evaluates the threshold as 1-row scalar subqueries") {
+    // The whole-table count/sum must plan as scalar subqueries (computed
+    // once, broadcast into the filter) and the NOT EXISTS as a LeftAnti
+    // equi join — the only shapes that survive a 100 TB customer table.
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("Subquery subquery"),
+      s"expected uncorrelated scalar subqueries in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti for NOT EXISTS in:\n$p")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB fact⨝fact path: when one side of a shuffle join carries a
+    // selective filter, Spark injects a bloom filter built from the
+    // filtered side into the other side's scan (runtime row-level
+    // filtering) — rows that cannot match are dropped BEFORE the shuffle.
+    // The size thresholds that gate it (creation ≤10MB, probe scan ≥10GB)
+    // are tuned for clusters, so fixture-scale plans never trigger it;
+    // lower them here to prove the plan shape is available to this
+    // engine's joins at scale.
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> util.Try(Option(s.conf.get(k))).toOption.flatten)
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = T.lineitem(s, sf)
+      val sel = T.orders(s, sf).filter(org.apache.spark.sql.functions.col("o_totalprice") > 450000)
+      val p = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy(li("l_returnflag")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) on the probe scan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  test("text_heavy_hitters never shuffles the raw token stream") {
+    // Pass 1 output (MG survivors) and pass 2's candidate probe are the
+    // only exchanges: the exploded token stream itself must reach its
+    // hash agg through a BROADCAST candidate join, and the only hash
+    // exchanges in the plan carry (token, count) pairs — never text.
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin [token"),
+      s"candidate probe must be a broadcast join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      "document text must never shuffle")
+    // Both passes scan only the text column.
+    assert(!p.contains("doc_id"), "scans must prune to the text column")
+  }
 }
