@@ -86,7 +86,19 @@ object Streaming extends QueryModule {
       // Checkpoint + staged input are dead once the query terminates;
       // remove them even when the streaming run throws (r6 ADVICE: a
       // failure before cleanup leaked all three dirs).
+      // State-store parallelism: the session's 32 shuffle partitions mean
+      // 32 state-store instances (each with its own checkpoint delta/
+      // snapshot files) for ~10 (day, event_type) groups — pure constant
+      // overhead per micro-batch. 4 partitions hold the same state with
+      // 8× fewer checkpoint files; the value is baked into the fresh
+      // checkpoint at query start, so restoring the session conf after
+      // is safe. At real scale the key cardinality (days × types) stays
+      // small, so a low state-partition count is the RIGHT setting there
+      // too — state parallelism should track key cardinality, not the
+      // batch shuffle width.
+      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
       try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -110,6 +122,7 @@ object Streaming extends QueryModule {
           .start()
         q.awaitTermination()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedSp)
         rmr(java.nio.file.Paths.get(ckpt)); rmr(in)
       }
       s.read.parquet(out)
@@ -151,7 +164,12 @@ object Streaming extends QueryModule {
       // writes land within the same ms.
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sld_in_$tag"
+      // 4 state partitions instead of the session's 32 — see
+      // stream_batch_equiv: three micro-batches × 32 state stores of
+      // checkpoint files for ~10 groups is pure constant overhead.
+      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
       try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         if (!new java.io.File(s"$in/_STAGED").exists()) {
           val stage = java.nio.file.Files.createTempDirectory("graft_sld_stage")
           new java.io.File(in).mkdirs()
@@ -194,6 +212,7 @@ object Streaming extends QueryModule {
           .start()
         q.awaitTermination()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedSp)
         // Only the checkpoint is per-run garbage; the staged input dir is
         // the reusable per-sf fixture.
         rmr(java.nio.file.Paths.get(ckpt))
