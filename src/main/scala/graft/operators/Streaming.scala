@@ -220,6 +220,80 @@ object Streaming extends QueryModule {
       s.read.parquet(out)
     }),
 
+    // Streaming exactly-once dedup, driver-checked: the events file lands
+    // twice — once whole, then a second arrival file re-delivering every
+    // 'click' row (the at-least-once redelivery every real log pipeline
+    // produces). Two micro-batches (maxFilesPerTrigger=1 + AvailableNow);
+    // dropDuplicatesWithinWatermark(event_id) keeps the FIRST occurrence
+    // and bounds its state by the 1 h watermark — the 100 TB contract: at
+    // unbounded-state dropDuplicates the dedup map grows with the whole
+    // stream's key space; within-watermark state holds only the last
+    // hour's ids. The redelivered rows are duplicates AND behind batch
+    // 1's watermark, so batch 2 emits nothing; the read-back aggregate
+    // must equal the plain batch aggregate over events (each id once).
+    "stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out  = tempDirReapedAtExit("graft_sdd_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt").toString
+      // Staged arrivals are a pure function of the fixture → write once
+      // per sf behind a marker (the stream_late_drop recipe); mtimes 60 s
+      // apart because the file source orders pending files by mtime.
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val in = s"/tmp/graft_sdd_in_$tag"
+      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        if (!new java.io.File(s"$in/_STAGED").exists()) {
+          val stage = java.nio.file.Files.createTempDirectory("graft_sdd_stage")
+          new java.io.File(in).mkdirs()
+          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
+                        mtime: Long): Unit = {
+            val tmp = s"$stage/$name"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
+            java.nio.file.Files.move(part, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+          val ev = events(s, d)
+          val t0 = System.currentTimeMillis() - 180000
+          stageFile(ev, "0_full", t0)
+          stageFile(ev.filter(col("event_type") === "click"), "1_redelivered", t0 + 60000)
+          rmr(stage)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
+        }
+        val schema = s.read.parquet(s"$in/0_full.parquet").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.toString)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedSp)
+        rmr(java.nio.file.Paths.get(ckpt))
+      }
+      // Aggregate the deduped emission for a compact, integer-exact
+      // compare: equality here certifies each event_id survived exactly
+      // once with its original row intact.
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    }),
+
     // Per-user session windows, 5-minute gap. Session end = last event +
     // gap (end-exclusive merge: an event at exactly prev_end starts a new
     // session) — the oracle's gaps-and-islands flag uses >= to match.
@@ -248,6 +322,16 @@ object Streaming extends QueryModule {
         FROM events)
       SELECT wstart, count(*) AS n, count(DISTINCT user_id) AS n_users
       FROM fanout GROUP BY wstart ORDER BY wstart
+    """,
+
+    // The streaming dedup must emit each event exactly once: its
+    // read-back aggregate equals the plain batch aggregate (each row's
+    // redelivered copy dropped by first-occurrence-wins).
+    "stream_dedup" -> """
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT event_id) AS n_ids,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY event_type ORDER BY event_type
     """,
 
     // The batch SQL the streaming run must equal (sum over BIGINT is
