@@ -369,6 +369,49 @@ object Relational extends QueryModule {
           r4(sum(col("value"))).as("total_value"))
     }),
 
+    // Funnel analysis: users completing view → click → purchase IN ORDER,
+    // each step within 24 h of the previous — the sequential-behavior
+    // query every event-analytics engine ships. Three per-user min-ts
+    // aggregates chained by joins, ALL keyed on user_id: at 100 TB every
+    // stage shuffles on the same key, so the exchanges line up for reuse
+    // and each stage's input shrinks (events → step-1 users → step-2
+    // users). Never a per-user sort or collect_list of the full history.
+    "agg_funnel_steps" -> ((s, d) => {
+      val e = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val step = expr("INTERVAL 24 HOURS")
+      val m1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val m2 = e.filter(col("event_type") === "click")
+        .join(m1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + step)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val m3 = e.filter(col("event_type") === "purchase")
+        .join(m2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + step)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      m1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(m2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(m3.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // Cohort retention: users grouped by first-seen day, counted on each
+    // later active day — the engagement curve behind every DAU report.
+    // The distinct (user, day) grid collapses events to ≤ users × days
+    // rows BEFORE any join; the cohort dim then joins back on user_id
+    // (same shuffle key as the distinct) and the final rollup is a plain
+    // two-phase hash agg on (cohort, offset) — three stages, two of them
+    // on the same key, none touching raw events twice.
+    "agg_retention_cohort" -> ((s, d) => {
+      val days = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), day(col("ts")).as("day")).distinct()
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Skew-mitigation pattern: salt the hot key, partially aggregate on
     // (salt, key), then merge per key — the classic two-stage rewrite for
     // a key whose group would overwhelm one reducer at 100 TB. Result is
@@ -922,6 +965,34 @@ object Relational extends QueryModule {
     "agg_salted_skew" -> """
       SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    // Ordered-step funnel: strictly-later timestamps, each step within
+    // 24 h of the previous step's first completion.
+    "agg_funnel_steps" -> """
+      WITH e AS (SELECT user_id, ts, event_type FROM events
+                 WHERE user_id IS NOT NULL),
+      m1 AS (SELECT user_id, min(ts) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN m1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > m1.t1
+               AND e.ts <= m1.t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+      m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN m2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > m2.t2
+               AND e.ts <= m2.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM m1) AS n_view,
+             (SELECT count(*) FROM m2) AS n_click,
+             (SELECT count(*) FROM m3) AS n_purchase
+    """,
+
+    "agg_retention_cohort" -> """
+      WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events WHERE user_id IS NOT NULL),
+      c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+      SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+             count(*) AS n_users
+      FROM d JOIN c USING (user_id)
+      GROUP BY cohort, day_offset ORDER BY cohort, day_offset
     """,
 
     // Tolerance-verdict oracles for the sketch keys: the oracle computes
