@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
 object Joins extends QueryModule {
   import T._
 
+  /** Per-part top-2 lineitems via correlated LATERAL + LIMIT, one SQL
+    * text for BOTH engines.
+    */
+  private def lateralTopnSql(part: String, lineitem: String): String = s"""
+    SELECT p_brand, p_partkey, l.l_orderkey,
+           round(l.l_extendedprice, 4) AS price
+    FROM $part p, LATERAL (
+      SELECT l_orderkey, l_extendedprice FROM $lineitem
+      WHERE l_partkey = p.p_partkey
+      ORDER BY l_extendedprice DESC, l_orderkey LIMIT 2) l
+    WHERE p_brand IN ('Brand#12', 'Brand#23')"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Category roll-up analog: fact ⨝ broadcast dims, then aggregate.
     "join_broadcast_dim" -> ((s, d) => {
@@ -128,6 +140,20 @@ object Joins extends QueryModule {
       p.join(err, col("user_id") === col("e_user") && col("bucket") === col("e_bucket"))
         .filter(abs(col("p_us") - col("e_us")) <= bandUs)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Correlated LATERAL subquery with LIMIT — per-part top-2 lineitems
+    // through the SQL surface a reference user would write. Catalyst
+    // decorrelates the correlated ORDER BY + LIMIT into a row_number
+    // window over the join (rn <= 2 filter) — ONE shuffle on the join
+    // key, never a per-outer-row subplan (plan-asserted: no nested loop).
+    // Same text runs in DuckDB; the output order-by keys make the top-2
+    // multiset deterministic under price ties (same orderkey+price rows
+    // differ only in non-projected linenumber).
+    "join_lateral_topn" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_lat")
+      lineitem(s, d).createOrReplaceTempView("lineitem_lat")
+      s.sql(lateralTopnSql("part_lat", "lineitem_lat"))
     }),
 
     // As-of join: each purchase → latest prior-or-equal click of the same
@@ -334,6 +360,9 @@ object Joins extends QueryModule {
         ON p.user_id = e.user_id AND abs(p.p_us - e.e_us) <= 300000000
       GROUP BY p.user_id ORDER BY p.user_id
     """,
+
+    "join_lateral_topn" ->
+      (lateralTopnSql("part", "lineitem") + "\n      ORDER BY p_partkey, price DESC, l_orderkey"),
 
     "join_asof_latest" -> """
       SELECT p.event_id, p.user_id, max(c.ts) AS asof_click_ts

@@ -219,6 +219,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_lateral_topn decorrelates the LATERAL LIMIT into a window") {
+    // The correlated ORDER BY + LIMIT 2 subquery must become a row_number
+    // window over an equi join (rn <= 2) — one shuffle on the join key —
+    // never a per-outer-row subplan or nested loop.
+    val p = plan("join_lateral_topn")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      s"LATERAL must decorrelate to an equi join:\n$p")
+    assert(p.contains("row_number") || p.contains("rn#"),
+      s"expected a row_number window for the per-group LIMIT in:\n$p")
+  }
+
   test("text_heavy_hitters never shuffles the raw token stream") {
     // Pass 1 output (MG survivors) and pass 2's candidate probe are the
     // only exchanges: the exploded token stream itself must reach its
