@@ -294,6 +294,65 @@ object Streaming extends QueryModule {
           sum(round(col("value") * 100).cast("long")).as("total_cents"))
     }),
 
+    // Stream-stream interval join, driver-checked: the purchase and click
+    // streams join on user_id with clicks in the 5 minutes before each
+    // purchase — the attribution join, run as TRUE streaming (two file
+    // sources, watermarks on both sides, append mode). The time-range
+    // condition + watermarks are what bound the join state at 100 TB:
+    // each side buffers only rows younger than watermark + band; without
+    // them an inner stream-stream join buffers both streams forever.
+    // Both staged files arrive in micro-batch 0 (no maxFilesPerTrigger),
+    // so no row is watermark-late and the emission must equal the batch
+    // theta join — the oracle.
+    "stream_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out  = tempDirReapedAtExit("graft_ssj_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val in = s"/tmp/graft_ssj_in_$tag"
+      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        if (!new java.io.File(s"$in/_STAGED").exists()) {
+          val ev = events(s, d).filter(col("user_id").isNotNull)
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$in/p")
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$in/c")
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
+        }
+        val pSch = s.read.parquet(s"$in/p").schema
+        val cSch = s.read.parquet(s"$in/c").schema
+        val p = s.readStream.schema(pSch).parquet(s"$in/p")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val c = s.readStream.schema(cSch).parquet(s"$in/c")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val q = p.join(c,
+            col("user_id") === col("c_user") &&
+              col("c_ts") <= col("p_ts") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+          .select(col("p_id"), col("user_id"))
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedSp)
+        rmr(java.nio.file.Paths.get(ckpt))
+      }
+      // Pair counts per user — compact, integer-exact compare.
+      s.read.parquet(out)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Per-user session windows, 5-minute gap. Session end = last event +
     // gap (end-exclusive merge: an event at exactly prev_end starts a new
     // session) — the oracle's gaps-and-islands flag uses >= to match.
@@ -332,6 +391,19 @@ object Streaming extends QueryModule {
              count(DISTINCT event_id) AS n_ids,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    // The streaming interval join must equal the batch theta join: both
+    // staged files land in micro-batch 0, so nothing is watermark-late.
+    "stream_stream_join" -> """
+      SELECT p.user_id, count(*) AS n_pairs
+      FROM (SELECT user_id, ts FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+      JOIN (SELECT user_id, ts AS c_ts FROM events
+            WHERE event_type = 'click' AND user_id IS NOT NULL) c
+        ON p.user_id = c.user_id AND c.c_ts <= p.ts
+           AND c.c_ts >= p.ts - INTERVAL 5 MINUTES
+      GROUP BY p.user_id ORDER BY p.user_id
     """,
 
     // The batch SQL the streaming run must equal (sum over BIGINT is
