@@ -164,6 +164,26 @@ object Functions extends QueryModule {
         octet_length(col("p_name")).as("octets"))
     }),
 
+    // URL parsing family: parse_url over a deterministically-built media
+    // URL (the reference's domain: file paths/URLs in play logs). NOT a
+    // roundtrip tautology — Spark PARSES with parse_url (Java URI
+    // semantics, codegen'd) while the oracle parses the same strings
+    // with regexps; agreement certifies the parser, not the builder.
+    "fn_url" -> ((s, d) => {
+      val url = concat(lit("https://files.example.org/wikipedia/commons/"),
+        lower(regexp_replace(col("p_type"), " ", "-")), lit("/"),
+        col("p_partkey"), lit(".ogg?size="), col("p_size"),
+        lit("&brand="), regexp_replace(col("p_brand"), "#", "-"))
+      part(s, d).select(col("p_partkey"), url.as("url"))
+        .select(
+          col("p_partkey"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'size')").as("size_param"),
+          expr("parse_url(url, 'QUERY', 'brand')").as("brand_param"))
+    }),
+
     // Array ops + higher-order functions over tokenized text.
     "fn_array" -> ((s, d) => {
       val tokens = split(col("text"), " ")
@@ -363,6 +383,23 @@ object Functions extends QueryModule {
              CAST(bit_count(p_partkey) AS INT) AS popcount,
              ~p_partkey AS complement
       FROM part ORDER BY p_partkey
+    """,
+
+    "fn_url" -> """
+      WITH u AS (
+        SELECT p_partkey,
+               'https://files.example.org/wikipedia/commons/' ||
+               lower(replace(p_type, ' ', '-')) || '/' || p_partkey ||
+               '.ogg?size=' || p_size || '&brand=' || replace(p_brand, '#', '-')
+                 AS url
+        FROM part)
+      SELECT p_partkey,
+             regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+             regexp_extract(url, '://([^/]+)', 1) AS host,
+             regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_param,
+             regexp_extract(url, '[?&]brand=([^&#]*)', 1) AS brand_param
+      FROM u ORDER BY p_partkey
     """,
 
     "fn_encode" -> """
