@@ -170,6 +170,57 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chained-min funnel equals brute-force sequential scan") {
+    // agg_funnel_steps' join-chain formulation (min over rows later than
+    // the previous step's min, within the window) must equal the direct
+    // definition: scan each user's history once, advancing a step
+    // pointer. Random histories hit the tricky cases — step events
+    // before the first view, ties, windows that expire.
+    val evGen: Gen[List[(Long, Long, Int)]] = Gen.nonEmptyListOf(for {
+      user <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 50L)
+      step <- Gen.chooseNum(0, 2) // 0=view 1=click 2=purchase
+    } yield (user, t, step))
+    val W = 10L // window per step
+    forAll(evGen) { evs =>
+      import spark.implicits._
+      val names = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+      val df = evs.map { case (u, t, s) => (u, t, names(s)) }
+        .toDF("user_id", "t", "event_type")
+      val m1 = df.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"t").as("t1"))
+      val m2 = df.filter($"event_type" === "click").join(m1, "user_id")
+        .filter($"t" > $"t1" && $"t" <= $"t1" + W)
+        .groupBy($"user_id").agg(min($"t").as("t2"))
+      val m3 = df.filter($"event_type" === "purchase").join(m2, "user_id")
+        .filter($"t" > $"t2" && $"t" <= $"t2" + W)
+        .groupBy($"user_id").agg(min($"t").as("t3"))
+      val got = (m1.count(), m2.count(), m3.count())
+      // Brute force: first view; first qualifying click after it; first
+      // qualifying purchase after that.
+      val want = {
+        val byUser = evs.groupBy(_._1)
+        var (n1, n2, n3) = (0L, 0L, 0L)
+        byUser.values.foreach { h =>
+          val t1 = h.filter(_._3 == 0).map(_._2).minOption
+          t1.foreach { v =>
+            n1 += 1
+            val t2 = h.filter(e => e._3 == 1 && e._2 > v && e._2 <= v + W)
+              .map(_._2).minOption
+            t2.foreach { c =>
+              n2 += 1
+              val t3 = h.filter(e => e._3 == 2 && e._2 > c && e._2 <= c + W)
+                .map(_._2).minOption
+              if (t3.nonEmpty) n3 += 1
+            }
+          }
+        }
+        (n1, n2, n3)
+      }
+      assert(got == want, s"funnel mismatch: got=$got want=$want evs=$evs")
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
