@@ -294,6 +294,106 @@ object Streaming extends QueryModule {
           sum(round(col("value") * 100).cast("long")).as("total_cents"))
     }),
 
+    // Arbitrary stateful processing (Spark 4 transformWithState),
+    // driver-checked: the reference's incremental counts table as CUSTOM
+    // state — per event_type, a typed ValueState (n, cents) accumulated
+    // across two staged micro-batches on RocksDB state (the operational
+    // store at 100 TB: incremental checkpoints, state beyond heap).
+    // Update-mode emissions upsert via dynamic partition overwrite (each
+    // batch rewrites only the event_type partitions it emitted), so the
+    // final table is the running total per key — which must equal the
+    // plain batch aggregate.
+    "stream_stateful_totals" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, Trigger, TTLConfig, TimerValues, ValueState}
+      import s.implicits._
+      val out  = tempDirReapedAtExit("graft_sst_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sst_ckpt").toString
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val in = s"/tmp/graft_sst_in_$tag"
+      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+      val savedProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        // transformWithState requires the RocksDB state store.
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        if (!new java.io.File(s"$in/_STAGED").exists()) {
+          // Flat single part-files at the watched dir's top level (the
+          // file source lists files, not parquet output dirs), mtimes
+          // 60 s apart so the halves arrive as two deterministic
+          // micro-batches — the stream_late_drop staging recipe.
+          val stage = java.nio.file.Files.createTempDirectory("graft_sst_stage")
+          new java.io.File(in).mkdirs()
+          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
+                        mtime: Long): Unit = {
+            val tmp = s"$stage/$name"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val partFile = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
+            java.nio.file.Files.move(partFile, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+          val ev = events(s, d)
+            .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+          val t0 = System.currentTimeMillis() - 120000
+          stageFile(ev.filter(col("ts") < split), "0_h1", t0)
+          stageFile(ev.filter(col("ts") >= split), "1_h2", t0 + 60000)
+          rmr(stage)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
+        }
+        class Totals extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+          @transient private var st: ValueState[(Long, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[(Long, Long)]("totals",
+              implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], TTLConfig.NONE)
+          override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+              timers: TimerValues): Iterator[(String, Long, Long)] = {
+            var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+            rows.foreach { r => n += 1; cents += r._2 }
+            st.update((n, cents))
+            Iterator.single((key, n, cents))
+          }
+        }
+        val sch = s.read.parquet(s"$in/0_h1.parquet").schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.toString)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new Totals, TimeMode.None(), OutputMode.Update())
+          .toDF("event_type", "n", "total_cents")
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          // Idempotent upsert: each batch dynamically overwrites ONLY the
+          // event_type partitions it emitted; keys silent in a later
+          // batch keep their last written totals.
+          .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            bdf.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("event_type")
+              .parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedSp)
+        savedProv match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        rmr(java.nio.file.Paths.get(ckpt))
+      }
+      s.read.parquet(out).select(col("event_type"), col("n"), col("total_cents"))
+    }),
+
     // Stream-stream interval join, driver-checked: the purchase and click
     // streams join on user_id with clicks in the 5 minutes before each
     // purchase — the attribution join, run as TRUE streaming (two file
@@ -389,6 +489,14 @@ object Streaming extends QueryModule {
     "stream_dedup" -> """
       SELECT event_type, count(*) AS n,
              count(DISTINCT event_id) AS n_ids,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    // The transformWithState running totals must equal the plain batch
+    // aggregate after the last micro-batch's upsert.
+    "stream_stateful_totals" -> """
+      SELECT event_type, count(*) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type ORDER BY event_type
     """,
