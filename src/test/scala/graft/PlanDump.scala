@@ -16,7 +16,8 @@ object PlanDump {
       "join_category_closure", "dedup_embed_cosine", "agg_approx_quantiles",
       "agg_approx_hll", "fn_json", "proj_url_decode",
       "sql_tpch_q5", "sql_tpch_q17", "scan_dpp",
-      "sql_tpch_q18", "sql_tpch_q21", "sql_tpch_q22", "text_heavy_hitters")
+      "sql_tpch_q18", "sql_tpch_q21", "sql_tpch_q22", "text_heavy_hitters",
+      "agg_funnel_steps", "agg_retention_cohort", "join_lateral_topn")
     val sb = new StringBuilder
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(s, d)
