@@ -44,6 +44,44 @@ object Streaming extends QueryModule {
     p.toString
   }
 
+  /** Run `body` with session confs temporarily set, restoring (or
+    * unsetting) every key on ALL exit paths. The streaming keys size
+    * state parallelism / pick the state-store provider per query; a
+    * leaked conf would silently change every subsequent batch key's
+    * plan, so the restore must be unforgettable.
+    */
+  private def withConf[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val saved = kvs.map { case (k, _) =>
+      k -> scala.util.Try(Option(s.conf.get(k))).toOption.flatten
+    }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Stage `df` as ONE flat parquet part-file at `dir/name.parquet` with
+    * an explicit mtime — the staged-arrival recipe shared by the
+    * micro-batch keys (the file stream source lists plain files, not
+    * parquet output dirs, and orders pending files by modification time).
+    */
+  private def stageSingleFile(df: DataFrame, dir: String, name: String,
+                              mtime: Long): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage")
+    try {
+      val tmp = s"$stage/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    } finally rmr(stage)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Daily tumbling window ≡ the reference's per-day batch roll-up.
     "stream_tumbling_daily" -> ((s, d) => {
@@ -96,9 +134,7 @@ object Streaming extends QueryModule {
       // small, so a low state-partition count is the RIGHT setting there
       // too — state parallelism should track key cardinality, not the
       // batch shuffle width.
-      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -121,10 +157,7 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedSp)
-        rmr(java.nio.file.Paths.get(ckpt)); rmr(in)
-      }
+      } finally { rmr(java.nio.file.Paths.get(ckpt)); rmr(in) } }
       s.read.parquet(out)
     }),
 
@@ -167,30 +200,15 @@ object Streaming extends QueryModule {
       // 4 state partitions instead of the session's 32 — see
       // stream_batch_equiv: three micro-batches × 32 state stores of
       // checkpoint files for ~10 groups is pure constant overhead.
-      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
         if (!new java.io.File(s"$in/_STAGED").exists()) {
-          val stage = java.nio.file.Files.createTempDirectory("graft_sld_stage")
           new java.io.File(in).mkdirs()
-          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
-                        mtime: Long): Unit = {
-            val tmp = s"$stage/$name"
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val part = new java.io.File(tmp).listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
-            java.nio.file.Files.move(part, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(mtime))
-          }
           val ev = events(s, d)
           val t0 = System.currentTimeMillis() - 180000
-          stageFile(ev.filter(col("ts") >= cutoff), "0_ontime", t0)
-          stageFile(ev.filter(col("ts") >= mid && col("ts") < cutoff), "1_mid", t0 + 60000)
-          stageFile(ev.filter(col("ts") < mid), "2_late", t0 + 120000)
-          rmr(stage)
+          stageSingleFile(ev.filter(col("ts") >= cutoff), in, "0_ontime", t0)
+          stageSingleFile(ev.filter(col("ts") >= mid && col("ts") < cutoff),
+            in, "1_mid", t0 + 60000)
+          stageSingleFile(ev.filter(col("ts") < mid), in, "2_late", t0 + 120000)
           java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val schema = s.read.parquet(s"$in/0_ontime.parquet").schema
@@ -212,11 +230,10 @@ object Streaming extends QueryModule {
           .start()
         q.awaitTermination()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedSp)
         // Only the checkpoint is per-run garbage; the staged input dir is
         // the reusable per-sf fixture.
         rmr(java.nio.file.Paths.get(ckpt))
-      }
+      } }
       s.read.parquet(out)
     }),
 
@@ -228,9 +245,13 @@ object Streaming extends QueryModule {
     // and bounds its state by the 1 h watermark — the 100 TB contract: at
     // unbounded-state dropDuplicates the dedup map grows with the whole
     // stream's key space; within-watermark state holds only the last
-    // hour's ids. The redelivered rows are duplicates AND behind batch
-    // 1's watermark, so batch 2 emits nothing; the read-back aggregate
-    // must equal the plain batch aggregate over events (each id once).
+    // hour's ids. Batch 2 emits nothing because every redelivered id is
+    // STILL IN DEDUP STATE (state expires only past watermark + delay;
+    // the redelivered rows sit within 1 h of the stream max, so the
+    // watermark alone would NOT drop them all) — shrinking the 1 h delay
+    // below the redelivery lag is what would break exactly-once here.
+    // The read-back aggregate must equal the plain batch aggregate over
+    // events (each id once).
     "stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val out  = tempDirReapedAtExit("graft_sdd_out")
@@ -240,29 +261,14 @@ object Streaming extends QueryModule {
       // apart because the file source orders pending files by mtime.
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sdd_in_$tag"
-      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
         if (!new java.io.File(s"$in/_STAGED").exists()) {
-          val stage = java.nio.file.Files.createTempDirectory("graft_sdd_stage")
           new java.io.File(in).mkdirs()
-          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
-                        mtime: Long): Unit = {
-            val tmp = s"$stage/$name"
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val part = new java.io.File(tmp).listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
-            java.nio.file.Files.move(part, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(mtime))
-          }
           val ev = events(s, d)
           val t0 = System.currentTimeMillis() - 180000
-          stageFile(ev, "0_full", t0)
-          stageFile(ev.filter(col("event_type") === "click"), "1_redelivered", t0 + 60000)
-          rmr(stage)
+          stageSingleFile(ev, in, "0_full", t0)
+          stageSingleFile(ev.filter(col("event_type") === "click"),
+            in, "1_redelivered", t0 + 60000)
           java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val schema = s.read.parquet(s"$in/0_full.parquet").schema
@@ -280,10 +286,7 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedSp)
-        rmr(java.nio.file.Paths.get(ckpt))
-      }
+      } finally rmr(java.nio.file.Paths.get(ckpt)) }
       // Aggregate the deduped emission for a compact, integer-exact
       // compare: equality here certifies each event_id survived exactly
       // once with its original row intact.
@@ -310,39 +313,20 @@ object Streaming extends QueryModule {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sst_ckpt").toString
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sst_in_$tag"
-      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-      val savedProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        // transformWithState requires the RocksDB state store.
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // transformWithState requires the RocksDB state store.
+      withConf(s,
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      ) { try {
         if (!new java.io.File(s"$in/_STAGED").exists()) {
-          // Flat single part-files at the watched dir's top level (the
-          // file source lists files, not parquet output dirs), mtimes
-          // 60 s apart so the halves arrive as two deterministic
-          // micro-batches — the stream_late_drop staging recipe.
-          val stage = java.nio.file.Files.createTempDirectory("graft_sst_stage")
           new java.io.File(in).mkdirs()
-          def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
-                        mtime: Long): Unit = {
-            val tmp = s"$stage/$name"
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val partFile = new java.io.File(tmp).listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            val dst = java.nio.file.Paths.get(s"$in/$name.parquet")
-            java.nio.file.Files.move(partFile, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(mtime))
-          }
           val ev = events(s, d)
             .select(col("event_id"), col("ts"), col("event_type"), col("value"))
           val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
           val t0 = System.currentTimeMillis() - 120000
-          stageFile(ev.filter(col("ts") < split), "0_h1", t0)
-          stageFile(ev.filter(col("ts") >= split), "1_h2", t0 + 60000)
-          rmr(stage)
+          stageSingleFile(ev.filter(col("ts") < split), in, "0_h1", t0)
+          stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
           java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         class Totals extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
@@ -383,14 +367,7 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedSp)
-        savedProv match {
-          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-        rmr(java.nio.file.Paths.get(ckpt))
-      }
+      } finally rmr(java.nio.file.Paths.get(ckpt)) }
       s.read.parquet(out).select(col("event_type"), col("n"), col("total_cents"))
     }),
 
@@ -410,9 +387,7 @@ object Streaming extends QueryModule {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_ssj_in_$tag"
-      val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
         if (!new java.io.File(s"$in/_STAGED").exists()) {
           val ev = events(s, d).filter(col("user_id").isNotNull)
           ev.filter(col("event_type") === "purchase")
@@ -444,10 +419,7 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedSp)
-        rmr(java.nio.file.Paths.get(ckpt))
-      }
+      } finally rmr(java.nio.file.Paths.get(ckpt)) }
       // Pair counts per user — compact, integer-exact compare.
       s.read.parquet(out)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))

@@ -327,16 +327,25 @@ object TextAnalysis extends QueryModule {
         .toDF("token", "mg_count")
         .groupBy(col("token")).agg(sum(col("mg_count")).as("m"))
         .crossJoin(broadcast(tot))
-        // m > N/500 − N/(K+1), exact: m·500·(K+1) > N·(K+1−500).
-        .filter(col("m") * lit(500L * (K + 1)) >
-          col("n_tok") * lit((K + 1 - 500).toLong))
+        // Candidate bound m > N/500 − N/(K+1), in the overflow-safe
+        // floor form m > ⌊N/500⌋ − ⌊N/(K+1)⌋ − 1: every term is ≤ N (no
+        // products — a cross-multiplied form overflows BIGINT once
+        // m·500·(K+1) passes 2⁶³, i.e. a dominant token in a ~10¹³-token
+        // corpus, exactly the regime this key claims to survive). The
+        // floor form is ≤ the exact bound (⌊a⌋−⌊b⌋−1 ≤ a−b always), so
+        // candidates only LOOSEN — superset preserved, and the exact
+        // recount below removes any extras.
+        .filter(col("m") >
+          expr(s"n_tok div 500") - expr(s"n_tok div ${K + 1}") - lit(1L))
         .select(col("token"))
       docs
         .select(explode(split(col("text"), " ")).as("token"))
         .join(broadcast(candidates), "token")
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .crossJoin(broadcast(tot))
-        .filter(col("freq") * 500 > col("n_tok"))
+        // freq·500 > N rewritten freq > ⌊N/500⌋ — equivalent for integer
+        // freq (500·(⌊N/500⌋+1) > N) and overflow-proof at any N.
+        .filter(col("freq") > expr("n_tok div 500"))
         .select(col("token"), col("freq"),
           r6(col("freq").cast("double") / col("n_tok")).as("share"))
     })
