@@ -314,42 +314,55 @@ object TextAnalysis extends QueryModule {
     // removes false positives. Candidate count is bounded by
     // N / (N/500 − N/2049) < 662 regardless of data size, so the
     // broadcast is always tiny.
-    "text_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      val K = 2048
-      val docs = documents(s, d).select(col("text"))
-      // Exact corpus token total: map-side agg to ONE row, broadcast below.
-      val tot = docs
-        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
-      val candidates = docs.as[String]
-        .mapPartitions(it =>
-          misraGries(it.flatMap(_.split(" ", -1).iterator), K))
-        .toDF("token", "mg_count")
-        .groupBy(col("token")).agg(sum(col("mg_count")).as("m"))
-        .crossJoin(broadcast(tot))
-        // Candidate bound m > N/500 − N/(K+1), in the overflow-safe
-        // floor form m > ⌊N/500⌋ − ⌊N/(K+1)⌋ − 1: every term is ≤ N (no
-        // products — a cross-multiplied form overflows BIGINT once
-        // m·500·(K+1) passes 2⁶³, i.e. a dominant token in a ~10¹³-token
-        // corpus, exactly the regime this key claims to survive). The
-        // floor form is ≤ the exact bound (⌊a⌋−⌊b⌋−1 ≤ a−b always), so
-        // candidates only LOOSEN — superset preserved, and the exact
-        // recount below removes any extras.
-        .filter(col("m") >
-          expr(s"n_tok div 500") - expr(s"n_tok div ${K + 1}") - lit(1L))
-        .select(col("token"))
-      docs
-        .select(explode(split(col("text"), " ")).as("token"))
-        .join(broadcast(candidates), "token")
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        .crossJoin(broadcast(tot))
-        // freq·500 > N rewritten freq > ⌊N/500⌋ — equivalent for integer
-        // freq (500·(⌊N/500⌋+1) > N) and overflow-proof at any N.
-        .filter(col("freq") > expr("n_tok div 500"))
-        .select(col("token"), col("freq"),
-          r6(col("freq").cast("double") / col("n_tok")).as("share"))
-    })
+    "text_heavy_hitters" -> ((s, d) =>
+      heavyHitters(documents(s, d).select(col("text")), 2048, 500))
   )
+
+  /** The two-pass exact heavy-hitter pipeline over a `text` column:
+    * tokens with frequency > N/`phiDen`, found with Misra-Gries `k`
+    * summaries per partition + broadcast-probe exact recount. Exposed
+    * with its parameters so GenPropertySpec can drive k BELOW the
+    * vocabulary size (forcing real evictions) on random corpora and
+    * compare against a direct aggregate; the query key fixes
+    * (k=2048, phiDen=500). REQUIRES k > phiDen (else the MG survival
+    * bound N/(k+1) exceeds the threshold and the superset proof fails).
+    */
+  private[graft] def heavyHitters(docs: DataFrame, k: Int,
+                                  phiDen: Long): DataFrame = {
+    require(k > phiDen, s"k=$k must exceed phiDen=$phiDen for the superset bound")
+    import docs.sparkSession.implicits._
+    // Exact corpus token total: map-side agg to ONE row, broadcast below.
+    val tot = docs
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+    val candidates = docs.as[String]
+      .mapPartitions(it =>
+        misraGries(it.flatMap(_.split(" ", -1).iterator), k))
+      .toDF("token", "mg_count")
+      .groupBy(col("token")).agg(sum(col("mg_count")).as("m"))
+      .crossJoin(broadcast(tot))
+      // Candidate bound m > N/phiDen − N/(k+1), in the overflow-safe
+      // floor form m > ⌊N/phiDen⌋ − ⌊N/(k+1)⌋ − 1: every term is ≤ N (no
+      // products — a cross-multiplied form overflows BIGINT once
+      // m·phiDen·(k+1) passes 2⁶³, i.e. a dominant token in a ~10¹³-token
+      // corpus, exactly the regime this key claims to survive). The
+      // floor form is ≤ the exact bound (⌊a⌋−⌊b⌋−1 ≤ a−b always), so
+      // candidates only LOOSEN — superset preserved, and the exact
+      // recount below removes any extras.
+      .filter(col("m") >
+        expr(s"n_tok div $phiDen") - expr(s"n_tok div ${k + 1}") - lit(1L))
+      .select(col("token"))
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      // freq·phiDen > N rewritten freq > ⌊N/phiDen⌋ — equivalent for
+      // integer freq (phiDen·(⌊N/phiDen⌋+1) > N) and overflow-proof at
+      // any N.
+      .filter(col("freq") > expr(s"n_tok div $phiDen"))
+      .select(col("token"), col("freq"),
+        r6(col("freq").cast("double") / col("n_tok")).as("share"))
+  }
 
   def oracleSql: Map[String, String] = {
     val langs = markers.map(_._1)

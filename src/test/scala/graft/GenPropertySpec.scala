@@ -170,6 +170,30 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("two-pass heavy-hitter pipeline equals the direct aggregate") {
+    // The FULL text_heavy_hitters path (MG partition summaries →
+    // candidate superset → broadcast recount, with the overflow-safe
+    // floor thresholds) must equal a plain count-filter aggregate on
+    // random corpora — with k BELOW the vocabulary size so evictions
+    // really happen, repartitioned so multiple MG summaries merge.
+    val docGen: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.frequency(
+        6 -> Gen.const("hot"), 3 -> Gen.oneOf("w1", "w2", "w3"),
+        2 -> Gen.oneOf((0 to 19).map(i => s"r$i"))))
+        .map(_.mkString(" ")))
+    forAll(docGen, Gen.chooseNum(6, 11)) { (texts, k) =>
+      import spark.implicits._
+      val docs = texts.toDF("text").repartition(3)
+      val got = operators.TextAnalysis.heavyHitters(docs, k, phiDen = 5L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val toks = texts.flatMap(_.split(" ", -1))
+      val n = toks.size.toLong
+      val want = toks.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 * 5 > n).toMap
+      assert(got == want, s"k=$k n=$n got=$got want=$want")
+    }
+  }
+
   test("chained-min funnel equals brute-force sequential scan") {
     // agg_funnel_steps' join-chain formulation (min over rows later than
     // the previous step's min, within the window) must equal the direct
