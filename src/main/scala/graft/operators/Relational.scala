@@ -246,6 +246,74 @@ object Relational extends QueryModule {
                         AND o.o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey"""
 
+  /** TPC-H Q2-shaped minimum-cost-supplier query, one SQL text for BOTH
+    * engines. The distinctive decorrelation: the correlated scalar
+    * subquery CONTAINS A JOIN (lineitem ⨝ supplier restricted to the
+    * same nation band as the outer block), so Catalyst must decorrelate
+    * a min-aggregate over a join — not just over one table (Q17's path).
+    * The compared value is a raw stored double (no arithmetic), so
+    * equality is engine-exact; ties at the minimum return every tying
+    * row, q2's own multiset semantics.
+    */
+  private def tpchQ2Sql(part: String, lineitem: String, supplier: String,
+                        nation: String): String = s"""
+    SELECT p_partkey, p_brand, s_name, n_name,
+           round(l_extendedprice, 4) AS min_price
+    FROM $part
+         JOIN $lineitem ON p_partkey = l_partkey
+         JOIN $supplier ON s_suppkey = l_suppkey
+         JOIN $nation   ON s_nationkey = n_nationkey
+    WHERE p_size < 10
+      AND s_nationkey < 13
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM $lineitem l2
+                                  JOIN $supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                             WHERE l2.l_partkey = p_partkey
+                               AND s2.s_nationkey < 13)"""
+
+  /** TPC-H Q11-shaped important-stock query, one SQL text for BOTH
+    * engines. Exercises the scalar subquery in HAVING — the global total
+    * compared against each group's aggregate AFTER aggregation (Q22
+    * covers the WHERE-side scalar). Fraction 1/25 (= 4%) is expressed as
+    * an exact integer cross-multiply over cents×quantity values summed
+    * in DECIMAL(38,0) — no double avg, no decimal-fraction literal.
+    */
+  private def tpchQ11Sql(lineitem: String, supplier: String): String = s"""
+    WITH sv AS (
+      SELECT s_nationkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) AS val_c
+      FROM $lineitem JOIN $supplier ON s_suppkey = l_suppkey)
+    SELECT s_nationkey,
+           round(CAST(sum(CAST(val_c AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 4)
+             AS value
+    FROM sv GROUP BY s_nationkey
+    HAVING sum(CAST(val_c AS DECIMAL(38,0))) * 25
+             > (SELECT sum(CAST(val_c AS DECIMAL(38,0))) FROM sv)"""
+
+  /** TPC-H Q20-shaped two-level nested IN, one SQL text for BOTH
+    * engines: suppliers whose volume over STANDARD-type parts is above
+    * the per-supplier average — an IN whose subquery aggregates rows
+    * filtered by ANOTHER IN, plus two scalar subqueries over the same
+    * CTE. Catalyst stacks the rewrites: inner IN → semi join under the
+    * aggregate, outer IN → semi join above it, scalars → 1-row
+    * broadcasts. Above-average is the Q22 exact cross-multiply.
+    */
+  private def tpchQ20Sql(part: String, lineitem: String,
+                         supplier: String): String = s"""
+    WITH std AS (
+      SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q
+      FROM $lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM $part
+                          WHERE p_type LIKE 'STANDARD%'))
+    SELECT s_suppkey, s_name
+    FROM $supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM std
+      GROUP BY l_suppkey
+      HAVING sum(q) * (SELECT count(DISTINCT l_suppkey) FROM std)
+               > (SELECT sum(q) FROM std))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -613,6 +681,31 @@ object Relational extends QueryModule {
       lineitem(s, d).createOrReplaceTempView("lineitem_q17")
       part(s, d).createOrReplaceTempView("part_q17")
       s.sql(tpchQ17Sql("lineitem_q17", "part_q17"))
+    }),
+
+    // Correlated scalar subquery CONTAINING a join (Q2 shape) — see
+    // tpchQ2Sql.
+    "sql_tpch_q2" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_q2")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q2")
+      supplier(s, d).createOrReplaceTempView("supplier_q2")
+      nation(s, d).createOrReplaceTempView("nation_q2")
+      s.sql(tpchQ2Sql("part_q2", "lineitem_q2", "supplier_q2", "nation_q2"))
+    }),
+
+    // Scalar subquery in HAVING (Q11 shape) — see tpchQ11Sql.
+    "sql_tpch_q11" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+      supplier(s, d).createOrReplaceTempView("supplier_q11")
+      s.sql(tpchQ11Sql("lineitem_q11", "supplier_q11"))
+    }),
+
+    // Two-level nested IN + CTE scalars (Q20 shape) — see tpchQ20Sql.
+    "sql_tpch_q20" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_q20")
+      lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+      supplier(s, d).createOrReplaceTempView("supplier_q20")
+      s.sql(tpchQ20Sql("part_q20", "lineitem_q20", "supplier_q20"))
     }),
 
     // IN-subquery over a grouped HAVING (Q18 shape) — see tpchQ18Sql.
@@ -1132,6 +1225,17 @@ object Relational extends QueryModule {
 
     "sql_tpch_q17" ->
       (tpchQ17Sql("lineitem", "part") + "\n      ORDER BY p_brand"),
+
+    "sql_tpch_q2" ->
+      (tpchQ2Sql("part", "lineitem", "supplier", "nation")
+        + "\n      ORDER BY p_partkey, s_name"),
+
+    "sql_tpch_q11" ->
+      (tpchQ11Sql("lineitem", "supplier") + "\n      ORDER BY s_nationkey"),
+
+    "sql_tpch_q20" ->
+      (tpchQ20Sql("part", "lineitem", "supplier")
+        + "\n      ORDER BY s_suppkey"),
 
     "sql_tpch_q18" ->
       (tpchQ18Sql("customer", "orders", "lineitem")

@@ -177,6 +177,27 @@ class PlanSpec extends AnyFunSuite {
       s"return-flag filter must push to the parquet scan:\n$p")
   }
 
+  test("sql_tpch_q2 decorrelates the min-over-join scalar subquery") {
+    // The correlated scalar subquery CONTAINS a join; it must still
+    // decorrelate to an aggregate-over-join + equi join on p_partkey,
+    // never a per-outer-row subplan.
+    val p = plan("sql_tpch_q2")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "min-over-join subquery must decorrelate to equi joins")
+    assert(p.contains("min(l_extendedprice"),
+      s"expected a decorrelated min aggregate in:\n$p")
+  }
+
+  test("sql_tpch_q20 stacks both IN subqueries as semi joins") {
+    // Inner IN (parts filter) → semi join under the volume aggregate;
+    // outer IN (supplier filter) → semi join above it.
+    val p = plan("sql_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected two stacked left-semi joins in:\n$p")
+    assert(!p.toLowerCase.contains("broadcastnestedloopjoin buildright, leftsemi"),
+      "IN subqueries must plan as equi semi joins")
+  }
+
   test("sql_tpch_q22 evaluates the threshold as 1-row scalar subqueries") {
     // The whole-table count/sum must plan as scalar subqueries (computed
     // once, broadcast into the filter) and the NOT EXISTS as a LeftAnti
