@@ -314,6 +314,26 @@ object Relational extends QueryModule {
       HAVING sum(q) * (SELECT count(DISTINCT l_suppkey) FROM std)
                > (SELECT sum(q) FROM std))"""
 
+  /** TPC-H Q19-shaped disjunctive (OR-of-ANDs) predicate across a join,
+    * one SQL text for BOTH engines. The optimizer surface: each OR
+    * branch mixes per-part and per-lineitem conjuncts, and Catalyst
+    * extracts the per-side disjunctions (`p_brand IN … AND p_size ≤ …`
+    * OR'd per branch) and pushes them BELOW the join into both scans —
+    * without that extraction a 100 TB scan reads everything and the
+    * filter runs post-join. Plan-asserted: both FileScans carry pushed
+    * Or(...) filters. Money math is the exact-cents q1 recipe.
+    */
+  private def tpchQ19Sql(lineitem: String, part: String): String = s"""
+    SELECT count(*) AS n_lines,
+           round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 4)
+             AS revenue
+    FROM $lineitem JOIN $part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 25)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 25 AND p_size <= 30)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 35 AND p_size <= 40)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans -----------------------------------------------------------
     // Parquet scan with predicate + projection pushdown: the 2-column read
@@ -706,6 +726,13 @@ object Relational extends QueryModule {
       lineitem(s, d).createOrReplaceTempView("lineitem_q20")
       supplier(s, d).createOrReplaceTempView("supplier_q20")
       s.sql(tpchQ20Sql("part_q20", "lineitem_q20", "supplier_q20"))
+    }),
+
+    // Disjunctive cross-table predicate (Q19 shape) — see tpchQ19Sql.
+    "sql_tpch_q19" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_q19")
+      part(s, d).createOrReplaceTempView("part_q19")
+      s.sql(tpchQ19Sql("lineitem_q19", "part_q19"))
     }),
 
     // IN-subquery over a grouped HAVING (Q18 shape) — see tpchQ18Sql.
@@ -1240,6 +1267,8 @@ object Relational extends QueryModule {
     "sql_tpch_q18" ->
       (tpchQ18Sql("customer", "orders", "lineitem")
         + "\n      ORDER BY o_orderkey"),
+
+    "sql_tpch_q19" -> tpchQ19Sql("lineitem", "part"),
 
     "sql_tpch_q21" ->
       (tpchQ21Sql("supplier", "lineitem", "orders", "nation")

@@ -198,6 +198,20 @@ class PlanSpec extends AnyFunSuite {
       "IN subqueries must plan as equi semi joins")
   }
 
+  test("sql_tpch_q19 pushes per-side disjunctions below the join") {
+    // Each OR branch mixes part and lineitem conjuncts; Catalyst must
+    // extract the per-table disjunctions and push them into BOTH scans
+    // (PushedFilters: [Or(...)]) — otherwise the 100 TB scan reads
+    // everything and filters post-join.
+    val p = plan("sql_tpch_q19")
+    // Pushed filter lists open with IsNotNull(join key), so match the Or
+    // anywhere inside a PushedFilters list (plan strings truncate long
+    // lists — one scan's Or per line is still visible).
+    val pushedOrs = "PushedFilters: \\[[^\\]\n]*Or\\(".r.findAllIn(p).size
+    assert(pushedOrs >= 2,
+      s"expected OR-filters pushed into both scans, found $pushedOrs in:\n$p")
+  }
+
   test("sql_tpch_q22 evaluates the threshold as 1-row scalar subqueries") {
     // The whole-table count/sum must plan as scalar subqueries (computed
     // once, broadcast into the filter) and the NOT EXISTS as a LeftAnti
