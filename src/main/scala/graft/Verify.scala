@@ -18,6 +18,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional extra confs for local robustness runs (k=v;k=v) — e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false" proves results
+    // don't depend on AQE re-planning. The driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     new java.io.File(outDir).mkdirs()
     // Optional key filter for local isolation runs (mirrors Bench);
     // the driver never sets it, so driver verifies always dump all keys.
