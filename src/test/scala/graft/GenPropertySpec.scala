@@ -245,6 +245,30 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cohort retention grid equals brute-force per-user computation") {
+    // agg_retention_cohort's distinct-grid + min-day-join formulation
+    // must equal the direct definition: for each user, cohort = first
+    // active day, and every active day contributes one count at its
+    // offset — duplicate events per (user, day) collapse to one.
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("user", "day", "v")
+      val days = df.select($"user", $"day").distinct()
+      val cohort = days.groupBy($"user").agg(min($"day").as("cohort"))
+      val got = days.join(cohort, "user")
+        .groupBy($"cohort", ($"day" - $"cohort").as("off"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = rows.map(r => (r._1, r._2)).distinct
+        .groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+          val c = ds.map(_._2).min
+          ds.map(d => (c, d._2 - c))
+        }
+        .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      assert(got == want, s"rows=$rows got=$got want=$want")
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
