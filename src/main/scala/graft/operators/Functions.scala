@@ -245,6 +245,28 @@ object Functions extends QueryModule {
           col("j").getField("k").as("k_schema"))
     }),
 
+    // Spark 4 VARIANT: schemaless semi-structured columns — the
+    // heterogeneous-metadata path a training-data pipeline needs when
+    // document/event payloads don't share one schema (fn_json covers the
+    // known-schema StructType path). parse_json builds the binary
+    // variant once; typed extraction (variant_get), missing-path NULL
+    // semantics, schema introspection, and canonical re-serialization
+    // all run codegen'd on that one value. The oracle extracts the same
+    // scalars with DuckDB JSON ops; schema_of_variant's fixed descriptor
+    // is pinned as a literal (a semantic assertion, like the sketch
+    // keys' TRUE verdicts); the roundtrip's canonical form is the
+    // fixture's own text minus the one space ('{"k": N}' → '{"k":N}').
+    "fn_variant" -> ((s, d) => {
+      events(s, d).select(col("event_id"), col("props"))
+        .selectExpr(
+          "event_id",
+          "variant_get(parse_json(props), '$.k', 'int') AS k_var",
+          "variant_get(parse_json(props), '$.missing', 'string') AS missing",
+          "variant_get(parse_json(props), '$.k', 'int') > 50 AS k_gt50",
+          "schema_of_variant(parse_json(props)) AS vschema",
+          "to_json(parse_json(props)) AS canonical")
+    }),
+
     // Null-semantics surface: null-safe equality (<=>), IS DISTINCT FROM
     // shape, null-aware conditionals — the semantics every join/dedup key
     // silently depends on, made explicit. nullif plants NULLs to exercise.
@@ -444,6 +466,16 @@ object Functions extends QueryModule {
              (o_orderstatus, o_orderkey) = ('O', o_orderkey) AS is_open_pair,
              o_custkey AS cust_f
       FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_variant" -> """
+      SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_var,
+             json_extract_string(props, '$.missing') AS missing,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) > 50 AS k_gt50,
+             'OBJECT<k: BIGINT>' AS vschema,
+             replace(props, ': ', ':') AS canonical
+      FROM events ORDER BY event_id
     """,
 
     "fn_json" -> """
