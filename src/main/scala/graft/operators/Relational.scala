@@ -512,6 +512,45 @@ object Relational extends QueryModule {
         .agg(sum(col("pn")).as("n_events"), r4(sum(col("pv"))).as("total_value"))
     }),
 
+    // EXACT distinct at high cardinality via bitmap aggregation — the
+    // two-level pattern the bitmap_* functions exist for: bucket ids
+    // into 32k-bit bitmaps (map-side OR-combinable fixed-size state),
+    // then sum per-bucket popcounts. Unlike count(DISTINCT), whose
+    // shuffle carries every distinct VALUE, this shuffles one bitmap
+    // per (group, bucket) — bounded by id-range/32k regardless of row
+    // count — and stays exact (the sketch keys trade exactness away).
+    "agg_bitmap_distinct" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_bmd")
+      s.sql("""
+        WITH b AS (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM events_bmd WHERE user_id IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+        FROM b GROUP BY event_type
+      """)
+    }),
+
+    // Apache DataSketches HLL (hll_sketch_agg) — distinct from the
+    // approx_count_distinct HLL++ path: this sketch's binary format is
+    // the cross-system interchange standard (mergeable with Druid/Hive/
+    // Pinot sketches via hll_union), which is what matters at 100 TB
+    // when counts roll up across engines. Oracle-checked with the same
+    // tolerance-verdict recipe as agg_approx_hll: exact count + boolean
+    // bound, sketch never crosses engines.
+    "agg_datasketch_hll" -> ((s, d) => {
+      events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx"))
+        .select(col("event_type"), col("n_users_exact"),
+          (col("n_users_exact") === 0 ||
+            abs(col("approx") - col("n_users_exact"))
+              .cast("double") / col("n_users_exact") <= 0.05)
+            .as("within_5pct"))
+    }),
+
     // HLL sketch distinct — the 100 TB path for distinct counts. Sketch
     // VALUES are engine-specific (cross-engine hash match impossible), so
     // the key emits an engine-agnostic TOLERANCE VERDICT instead: the exact
@@ -1113,6 +1152,19 @@ object Relational extends QueryModule {
              count(*) AS n_users
       FROM d JOIN c USING (user_id)
       GROUP BY cohort, day_offset ORDER BY cohort, day_offset
+    """,
+
+    "agg_bitmap_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
+    """,
+
+    "agg_datasketch_hll" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+             TRUE AS within_5pct
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
     """,
 
     // Tolerance-verdict oracles for the sketch keys: the oracle computes
