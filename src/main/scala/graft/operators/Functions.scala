@@ -245,6 +245,25 @@ object Functions extends QueryModule {
           col("j").getField("k").as("k_schema"))
     }),
 
+    // Spark 4 collation framework: case-insensitive grouping via
+    // UTF8_LCASE as a COLUMN property rather than per-expression
+    // lower() calls — at scale the collation participates in hashing /
+    // shuffle keys natively. The test data is made mixed-case in-query
+    // (original/lower/upper fan-out) so the collated grouping genuinely
+    // MERGES keys; the emitted group label is normalized with lower()
+    // because a collated group's representative is whichever casing a
+    // partition saw first. Oracle: plain lower() grouping.
+    "fn_collation" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_coll")
+      s.sql("""
+        WITH m AS (
+          SELECT explode(array(p_brand, lower(p_brand), upper(p_brand))) AS b
+          FROM part_coll)
+        SELECT lower(b COLLATE UTF8_LCASE) AS brand_ci, count(*) AS n
+        FROM m GROUP BY b COLLATE UTF8_LCASE
+      """)
+    }),
+
     // Spark 4 VARIANT: schemaless semi-structured columns — the
     // heterogeneous-metadata path a training-data pipeline needs when
     // document/event payloads don't share one schema (fn_json covers the
@@ -466,6 +485,14 @@ object Functions extends QueryModule {
              (o_orderstatus, o_orderkey) = ('O', o_orderkey) AS is_open_pair,
              o_custkey AS cust_f
       FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_collation" -> """
+      WITH m AS (
+        SELECT unnest([p_brand, lower(p_brand), upper(p_brand)]) AS b
+        FROM part)
+      SELECT lower(b) AS brand_ci, count(*) AS n
+      FROM m GROUP BY lower(b) ORDER BY brand_ci
     """,
 
     "fn_variant" -> """

@@ -512,6 +512,21 @@ object Relational extends QueryModule {
         .agg(sum(col("pn")).as("n_events"), r4(sum(col("pv"))).as("total_value"))
     }),
 
+    // Hidden _metadata columns: per-row file provenance (file_name,
+    // row counts per physical file) — the lineage/bookkeeping surface a
+    // training-data pipeline uses to trace every example back to its
+    // source file and to audit per-file row counts after a rewrite. The
+    // metadata struct is populated by the scan itself (no filesystem
+    // round-trip per row); the oracle pins the expected (file, count)
+    // pairs from the same tables.
+    "scan_file_metadata" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(expr("_metadata.file_name").as("fname"))
+      val od = tbl(s, d, "orders")
+        .select(expr("_metadata.file_name").as("fname"))
+      li.unionByName(od).groupBy(col("fname")).agg(count(lit(1)).as("n_rows"))
+    }),
+
     // EXACT distinct at high cardinality via bitmap aggregation — the
     // two-level pattern the bitmap_* functions exist for: bucket ids
     // into 32k-bit bitmaps (map-side OR-combinable fixed-size state),
@@ -1152,6 +1167,13 @@ object Relational extends QueryModule {
              count(*) AS n_users
       FROM d JOIN c USING (user_id)
       GROUP BY cohort, day_offset ORDER BY cohort, day_offset
+    """,
+
+    "scan_file_metadata" -> """
+      SELECT 'lineitem.parquet' AS fname, count(*) AS n_rows FROM lineitem
+      UNION ALL
+      SELECT 'orders.parquet' AS fname, count(*) AS n_rows FROM orders
+      ORDER BY fname
     """,
 
     "agg_bitmap_distinct" -> """
