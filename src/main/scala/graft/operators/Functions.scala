@@ -245,6 +245,26 @@ object Functions extends QueryModule {
           col("j").getField("k").as("k_schema"))
     }),
 
+    // ANSI-safe arithmetic (try_*): Spark 4 runs ANSI mode by default,
+    // where overflow / bad casts / division-by-zero THROW — the try_
+    // family is the per-expression opt-out that degrades to NULL
+    // instead of failing a 100 TB job on one dirty row. Each column
+    // exercises one failure class: div-by-zero, bigint overflow,
+    // unparseable cast, out-of-bounds element, unparseable timestamp.
+    // The oracle reproduces the NULL semantics with CASE guards.
+    "fn_try_ansi" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_try")
+      s.sql("""
+        SELECT p_partkey,
+               round(try_divide(p_retailprice, p_size - 25), 6) AS div_maybe,
+               try_add(9223372036854775807, p_partkey) AS add_ovf,
+               try_cast(p_brand AS INT) AS bad_cast,
+               try_element_at(array(1, 2), CAST(p_size AS INT)) AS elem,
+               try_to_timestamp(p_brand, 'yyyy-MM-dd') AS bad_ts
+        FROM part_try
+      """)
+    }),
+
     // Spark 4 collation framework: case-insensitive grouping via
     // UTF8_LCASE as a COLUMN property rather than per-expression
     // lower() calls — at scale the collation participates in hashing /
@@ -485,6 +505,16 @@ object Functions extends QueryModule {
              (o_orderstatus, o_orderkey) = ('O', o_orderkey) AS is_open_pair,
              o_custkey AS cust_f
       FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_try_ansi" -> """
+      SELECT p_partkey,
+             round(CASE WHEN p_size <> 25 THEN p_retailprice / (p_size - 25) END, 6) AS div_maybe,
+             CAST(CASE WHEN p_partkey = 0 THEN 9223372036854775807 END AS BIGINT) AS add_ovf,
+             TRY_CAST(p_brand AS INT) AS bad_cast,
+             CAST(CASE WHEN p_size IN (1, 2) THEN p_size END AS INT) AS elem,
+             CAST(NULL AS TIMESTAMP) AS bad_ts
+      FROM part ORDER BY p_partkey
     """,
 
     "fn_collation" -> """
