@@ -214,6 +214,29 @@ object Functions extends QueryModule {
         concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"))
     }),
 
+    // Map higher-order functions — transform_keys/transform_values/
+    // map_filter/map_zip_with, the per-row map algebra fn_map's
+    // construction surface doesn't reach. All four run codegen'd inside
+    // one projection; output scalarized per the fn_map convention (the
+    // driver compare is scalar-only), with the oracle computing the
+    // same scalars by direct arithmetic on the source columns.
+    "fn_map_hof" -> ((s, d) => {
+      val tokens = split(col("text"), " ")
+      val m = map_from_arrays(
+        array(lit("a"), lit("b")),
+        array(col("n_chars"), size(tokens).cast("long")))
+      documents(s, d).select(
+        col("doc_id"),
+        element_at(transform_values(m, (_, v) => v * 2), "a").as("a_doubled"),
+        concat_ws(",", sort_array(map_keys(
+          transform_keys(m, (k, _) => upper(k))))).as("up_keys"),
+        size(map_filter(m, (_, v) => v > lit(100L))).as("n_big"),
+        element_at(
+          map_zip_with(m, map(lit("a"), lit(1L), lit("b"), lit(10L)),
+            (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L))),
+          "a").as("a_plus1"))
+    }),
+
     // Struct (nested row) construction, field access, and lexicographic
     // struct comparison — the nested-type surface beyond arrays/maps.
     // Output is flattened to scalars (driver compare is scalar-only).
@@ -505,6 +528,16 @@ object Functions extends QueryModule {
              (o_orderstatus, o_orderkey) = ('O', o_orderkey) AS is_open_pair,
              o_custkey AS cust_f
       FROM orders ORDER BY o_orderkey
+    """,
+
+    "fn_map_hof" -> """
+      SELECT doc_id,
+             n_chars * 2 AS a_doubled,
+             'A,B' AS up_keys,
+             CAST(CAST(n_chars > 100 AS INT)
+                  + CAST(len(string_split(text, ' ')) > 100 AS INT) AS INT) AS n_big,
+             n_chars + 1 AS a_plus1
+      FROM documents ORDER BY doc_id
     """,
 
     "fn_try_ansi" -> """
