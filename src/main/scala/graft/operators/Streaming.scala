@@ -425,6 +425,58 @@ object Streaming extends QueryModule {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // The reference's ENTIRE operational loop as ONE driver-checked key:
+    // daily dumps land (two staged arrival halves, split by time) → the
+    // incremental streaming aggregation rolls (file, date) play counts →
+    // each micro-batch UPSERTS its date partitions into the at-rest
+    // counts table (dynamic partition overwrite — the halves touch
+    // disjoint dates, exactly the daily-cron shape) → the result is read
+    // back through graft.api.Playcounts, the reference's own query API.
+    // Oracle = the same point lookups straight off the raw events: the
+    // whole ingest→sink→API chain must be lossless.
+    "pipeline_daily_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out  = tempDirReapedAtExit("graft_p2e_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_p2e_ckpt").toString
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val in = s"/tmp/graft_p2e_in_$tag"
+      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
+        if (!new java.io.File(s"$in/_STAGED").exists()) {
+          new java.io.File(in).mkdirs()
+          val ev = events(s, d)
+            .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+          val t0 = System.currentTimeMillis() - 120000
+          stageSingleFile(ev.filter(col("ts") < split), in, "0_h1", t0)
+          stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
+        }
+        val sch = s.read.parquet(s"$in/0_h1.parquet").schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.toString)
+          .groupBy(col("event_type").as("file"),
+            day(col("ts")).as("date"))
+          .agg(count(lit(1)).as("count"))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            bdf.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("date")
+              .parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmr(java.nio.file.Paths.get(ckpt)) }
+      // Query the upserted counts table through the reference API.
+      val pc = new graft.api.Playcounts(s.read.parquet(out))
+      pc.dateCount("view", java.sql.Date.valueOf("2024-01-20"))
+        .unionByName(pc.dateCount("click", java.sql.Date.valueOf("2024-01-05")))
+    }),
+
     // Per-user session windows, 5-minute gap. Session end = last event +
     // gap (end-exclusive merge: an event at exactly prev_end starts a new
     // session) — the oracle's gaps-and-islands flag uses >= to match.
@@ -463,6 +515,21 @@ object Streaming extends QueryModule {
              count(DISTINCT event_id) AS n_ids,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+
+    // The full ingest→sink→API chain must be lossless: the API's point
+    // lookups off the upserted counts table equal the raw-event counts.
+    "pipeline_daily_e2e" -> """
+      SELECT 'view' AS file, DATE '2024-01-20' AS date, count(*) AS count
+      FROM events
+      WHERE event_type = 'view'
+        AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-20'
+      UNION ALL
+      SELECT 'click' AS file, DATE '2024-01-05' AS date, count(*) AS count
+      FROM events
+      WHERE event_type = 'click'
+        AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
+      ORDER BY file
     """,
 
     // The transformWithState running totals must equal the plain batch
