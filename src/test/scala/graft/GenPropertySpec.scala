@@ -269,6 +269,34 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap bucket aggregation counts distinct exactly across boundaries") {
+    // agg_bitmap_distinct's two-level scheme must equal count(DISTINCT)
+    // on ids straddling the 32768-bit bucket boundary (0, 32767, 32768,
+    // multiples, duplicates) and across multiple groups.
+    val idsGen: Gen[List[(Int, Long)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.chooseNum(0, 2)
+      id <- Gen.oneOf(Gen.chooseNum(0L, 10L), Gen.chooseNum(32760L, 32775L),
+        Gen.chooseNum(65530L, 65545L), Gen.chooseNum(0L, 200000L))
+    } yield (g, id))
+    forAll(idsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("g", "id").repartition(3)
+      df.createOrReplaceTempView("bm_prop")
+      val got = spark.sql("""
+        WITH b AS (
+          SELECT g, bitmap_bucket_number(id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(id)) AS bm
+          FROM bm_prop GROUP BY 1, 2)
+        SELECT g, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n
+        FROM b GROUP BY g""")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).distinct.size.toLong
+      }
+      assert(got == want, s"got=$got want=$want rows=$rows")
+    }
+  }
+
   test("limit/offset pagination covers exactly the sorted prefix") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
