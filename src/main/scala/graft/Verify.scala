@@ -21,10 +21,14 @@ object Verify {
     // Optional extra confs for local robustness runs (k=v;k=v) — e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false" proves results
     // don't depend on AQE re-planning. The driver never sets it.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => System.err.println(
+            s"[verify] ignoring malformed SPARK_GRAFT_CONF entry: '$kv'")
+        }
+      })
     new java.io.File(outDir).mkdirs()
     // Optional key filter for local isolation runs (mirrors Bench);
     // the driver never sets it, so driver verifies always dump all keys.

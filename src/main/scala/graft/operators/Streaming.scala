@@ -82,6 +82,39 @@ object Streaming extends QueryModule {
     } finally rmr(stage)
   }
 
+  /** Content fingerprint of the events fixture under `d`: row count +
+    * max event ts (one tiny agg job, cached per sf dir for the JVM's
+    * lifetime). Written into each staged-input marker so a REGENERATED
+    * fixture restages instead of silently reusing stale arrival files —
+    * the r7 name-only `_STAGED` marker was a silent-wrong-data class.
+    */
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def eventsFingerprint(s: SparkSession, d: String): String =
+    fpCache.getOrElseUpdate(d, {
+      val r = events(s, d).agg(count(lit(1)), max(col("ts"))).head()
+      s"rows=${r.getLong(0)};maxTs=${r.get(1)}"
+    })
+
+  /** Marker-guarded staging: reuse `in` only when `_STAGED` holds the
+    * CURRENT fixture fingerprint; on mismatch (first run, regenerated
+    * fixture, or interrupted prior staging) wipe the dir and restage.
+    * The marker is written last, so a crash mid-staging can never leave
+    * a dir that passes the guard.
+    */
+  private[graft] def ensureStaged(s: SparkSession, d: String, in: String)
+                                 (stage: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(s"$in/_STAGED")
+    val fp = eventsFingerprint(s, d)
+    val ok = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == fp
+    if (!ok) {
+      rmr(java.nio.file.Paths.get(in))
+      new java.io.File(in).mkdirs()
+      stage
+      java.nio.file.Files.writeString(marker, fp)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Daily tumbling window ≡ the reference's per-day batch roll-up.
     "stream_tumbling_daily" -> ((s, d) => {
@@ -200,16 +233,15 @@ object Streaming extends QueryModule {
       // 4 state partitions instead of the session's 32 — see
       // stream_batch_equiv: three micro-batches × 32 state stores of
       // checkpoint files for ~10 groups is pure constant overhead.
-      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
-        if (!new java.io.File(s"$in/_STAGED").exists()) {
-          new java.io.File(in).mkdirs()
+      withConf(s, "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+        ensureStaged(s, d, in) {
           val ev = events(s, d)
           val t0 = System.currentTimeMillis() - 180000
           stageSingleFile(ev.filter(col("ts") >= cutoff), in, "0_ontime", t0)
           stageSingleFile(ev.filter(col("ts") >= mid && col("ts") < cutoff),
             in, "1_mid", t0 + 60000)
           stageSingleFile(ev.filter(col("ts") < mid), in, "2_late", t0 + 120000)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val schema = s.read.parquet(s"$in/0_ontime.parquet").schema
         val q = s.readStream.schema(schema)
