@@ -54,16 +54,17 @@ object Bench {
     // timing reported. r5 showed min-of-2 leaves ±2–4× single-key swings
     // (fn_json 0.59→2.65 s with zero code change) — a third sample makes
     // a real 2× regression distinguishable from a straggler run.
-    val results = bench.map { case (name, _) =>
+    val samples = bench.map { case (name, _) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         run(name)
         (System.nanoTime() - t0) / 1e9
       }
       // A failed query reports -1 (never a bogus near-zero timing).
-      try { name -> Seq(once(), once(), once()).min }
-      catch { case _: Throwable => name -> -1.0 }
-    }.toMap
+      try { name -> Seq(once(), once(), once()) }
+      catch { case _: Throwable => name -> Seq(-1.0) }
+    }
+    val results = samples.map { case (k, ss) => k -> ss.min }.toMap
     // The driver parses this line from a 2000-char stdout TAIL (measured
     // from BENCH_r01.json: tail len 2000, and round 1's full-precision
     // line was truncated → "parsed": null). sbt's trailing "[success]"
@@ -93,6 +94,17 @@ object Bench {
       .mkString("{", ",", "}")
     val omittedSum = omitted.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
+    // COMPLETE per-key record (every key, all 3 samples + min) to a file:
+    // the driver's 2000-char stdout tail can only carry the slowest ~66
+    // keys, which left 72 keys invisible to round-over-round comparison
+    // (VERDICT r7 task 2 / r8 task 2). tools/bench_baseline.py consumes
+    // this to pin per-key medians in BASELINE.md.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val keyJson = samples.sortBy(_._1).map { case (k, ss) =>
+      s"""    "$k": {"samples": [${ss.map(f).mkString(", ")}], "min": ${f(ss.min)}}"""
+    }.mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName"}""")
     spark.stop()
   }

@@ -151,7 +151,7 @@ object Dedup extends QueryModule {
     * every pair the rounded gate can accept. All arithmetic is forced
     * to 64-bit (nsh·10⁶ overflows INT at nsh ≥ 2148).
     */
-  private def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  private[graft] def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     // The two prefix-join sides are identical canonicalized subtrees, so
     // ReuseExchange computes that shuffle once; the confirm-join sides
     // broadcast at fixture scale. (Measured: forcing all four arms onto

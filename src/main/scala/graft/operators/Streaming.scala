@@ -82,31 +82,56 @@ object Streaming extends QueryModule {
     } finally rmr(stage)
   }
 
-  /** Content fingerprint of the events fixture under `d`: row count +
-    * max event ts (one tiny agg job, cached per sf dir for the JVM's
-    * lifetime). Written into each staged-input marker so a REGENERATED
-    * fixture restages instead of silently reusing stale arrival files —
-    * the r7 name-only `_STAGED` marker was a silent-wrong-data class.
+  /** On-disk signature of the fixture path (total bytes + newest mtime
+    * across part files) — cheap, no Spark job. Keys the fingerprint cache
+    * so a fixture regenerated MID-JVM (long bench session) still misses
+    * the cache and is re-fingerprinted (r8 ADVICE).
+    */
+  private def fileSig(p: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val fs = java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      val bytes = fs.map(java.nio.file.Files.size).sum
+      val mtime = fs.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+        .maxOption.getOrElse(0L)
+      s"$bytes:$mtime"
+    }
+  }
+
+  /** Content fingerprint of the events fixture under `d`: row count, max
+    * event ts, and an order-independent xxhash64 XOR over every row's
+    * full content (one tiny agg job, cached per (dir, file signature)).
+    * Written into each staged-input marker so a REGENERATED fixture
+    * restages instead of silently reusing stale arrival files — the r7
+    * name-only `_STAGED` marker was a silent-wrong-data class. The XOR
+    * term closes the r8 gap: a regeneration that preserved row count and
+    * max ts but changed values/types/ids now changes the fingerprint.
     */
   private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def eventsFingerprint(s: SparkSession, d: String): String =
-    fpCache.getOrElseUpdate(d, {
-      val r = events(s, d).agg(count(lit(1)), max(col("ts"))).head()
-      s"rows=${r.getLong(0)};maxTs=${r.get(1)}"
+  private[graft] def eventsFingerprint(s: SparkSession, d: String): String = {
+    val key = s"$d|${fileSig(java.nio.file.Paths.get(s"$d/events.parquet"))}"
+    fpCache.getOrElseUpdate(key, {
+      val r = events(s, d).agg(count(lit(1)), max(col("ts")),
+        expr("bit_xor(xxhash64(event_id, ts, event_type, value, user_id))")).head()
+      s"rows=${r.getLong(0)};maxTs=${r.get(1)};xor=${r.get(2)}"
     })
+  }
 
   /** Marker-guarded staging: reuse `in` only when `_STAGED` holds the
     * CURRENT fixture fingerprint; on mismatch (first run, regenerated
-    * fixture, or interrupted prior staging) wipe the dir and restage.
-    * The marker is written last, so a crash mid-staging can never leave
-    * a dir that passes the guard.
+    * fixture, interrupted prior staging, or an unreadable/garbage marker
+    * — the read is Try-wrapped, never a key failure) wipe the dir and
+    * restage. The marker is written last, so a crash mid-staging can
+    * never leave a dir that passes the guard.
     */
   private[graft] def ensureStaged(s: SparkSession, d: String, in: String)
                                  (stage: => Unit): Unit = {
     val marker = java.nio.file.Paths.get(s"$in/_STAGED")
     val fp = eventsFingerprint(s, d)
-    val ok = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == fp
+    val ok = scala.util.Try(java.nio.file.Files.readString(marker))
+      .toOption.contains(fp)
     if (!ok) {
       rmr(java.nio.file.Paths.get(in))
       new java.io.File(in).mkdirs()
@@ -167,7 +192,8 @@ object Streaming extends QueryModule {
       // small, so a low state-partition count is the RIGHT setting there
       // too — state parallelism should track key cardinality, not the
       // batch shuffle width.
-      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
+      withConf(s, "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -293,15 +319,14 @@ object Streaming extends QueryModule {
       // apart because the file source orders pending files by mtime.
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sdd_in_$tag"
-      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
-        if (!new java.io.File(s"$in/_STAGED").exists()) {
-          new java.io.File(in).mkdirs()
+      withConf(s, "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+        ensureStaged(s, d, in) {
           val ev = events(s, d)
           val t0 = System.currentTimeMillis() - 180000
           stageSingleFile(ev, in, "0_full", t0)
           stageSingleFile(ev.filter(col("event_type") === "click"),
             in, "1_redelivered", t0 + 60000)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val schema = s.read.parquet(s"$in/0_full.parquet").schema
         val q = s.readStream.schema(schema)
@@ -348,18 +373,17 @@ object Streaming extends QueryModule {
       // transformWithState requires the RocksDB state store.
       withConf(s,
         "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.minBatchesToRetain" -> "2",
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       ) { try {
-        if (!new java.io.File(s"$in/_STAGED").exists()) {
-          new java.io.File(in).mkdirs()
+        ensureStaged(s, d, in) {
           val ev = events(s, d)
             .select(col("event_id"), col("ts"), col("event_type"), col("value"))
           val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
           val t0 = System.currentTimeMillis() - 120000
           stageSingleFile(ev.filter(col("ts") < split), in, "0_h1", t0)
           stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         class Totals extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
           @transient private var st: ValueState[(Long, Long)] = _
@@ -419,8 +443,9 @@ object Streaming extends QueryModule {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_ssj_in_$tag"
-      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
-        if (!new java.io.File(s"$in/_STAGED").exists()) {
+      withConf(s, "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+        ensureStaged(s, d, in) {
           val ev = events(s, d).filter(col("user_id").isNotNull)
           ev.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts"))
@@ -428,7 +453,6 @@ object Streaming extends QueryModule {
           ev.filter(col("event_type") === "click")
             .select(col("user_id"), col("ts"))
             .coalesce(1).write.mode("overwrite").parquet(s"$in/c")
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val pSch = s.read.parquet(s"$in/p").schema
         val cSch = s.read.parquet(s"$in/c").schema
@@ -472,16 +496,15 @@ object Streaming extends QueryModule {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_p2e_ckpt").toString
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_p2e_in_$tag"
-      withConf(s, "spark.sql.shuffle.partitions" -> "4") { try {
-        if (!new java.io.File(s"$in/_STAGED").exists()) {
-          new java.io.File(in).mkdirs()
+      withConf(s, "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+        ensureStaged(s, d, in) {
           val ev = events(s, d)
             .select(col("event_id"), col("ts"), col("event_type"), col("value"))
           val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
           val t0 = System.currentTimeMillis() - 120000
           stageSingleFile(ev.filter(col("ts") < split), in, "0_h1", t0)
           stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$in/_STAGED"))
         }
         val sch = s.read.parquet(s"$in/0_h1.parquet").schema
         val q = s.readStream.schema(sch)

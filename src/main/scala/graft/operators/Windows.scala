@@ -104,26 +104,34 @@ object Windows extends QueryModule {
     //
     // Scale plan (replaces r1–r6's unpartitioned global window, which
     // moved EVERY row to one partition — the WindowExec WARN in old bench
-    // tails): partition by a value bucket exactly one band wide
-    // (10.0 = 1000 centi-units), and union in a "carry-in" copy of each
-    // row shifted to bucket+1 so frames that straddle the bucket start
-    // still see their predecessors. Carry-ins contribute to other rows'
-    // frames but are filtered out of the result. Coverage proof is
-    // integer-exact on vc (no FP-at-boundary hazard): round is monotone,
-    // so a contributor with value ≤ v_anchor has vc ≤ vc_anchor ⇒
-    // bkt ≤ B, and value ≥ v_anchor − 10 ⇒ vc ≥ vc_anchor − 1000 ⇒
-    // bkt ≥ B − 1 — every in-frame row lives in {B−1, B}, i.e. is an
-    // anchor or a carry-in of partition B. One hash shuffle on bkt, a
-    // per-bucket sort, 2× row duplication of a 3-column projection —
+    // tails): partition by a value bucket TWO bands wide (20.0 = 2000
+    // centi-units), and union in a "carry-in" copy of only the rows in
+    // the top band of each bucket (vc mod W ≥ W − band), shifted to
+    // bucket+1, so frames that straddle the bucket start still see their
+    // predecessors. Carry-ins contribute to other rows' frames but are
+    // filtered out of the result. Coverage proof is integer-exact on vc
+    // (no FP-at-boundary hazard): round is monotone, so a contributor
+    // with value ≤ v_anchor has vc ≤ vc_anchor ⇒ bkt ≤ B, and
+    // value ≥ v_anchor − 10 ⇒ vc ≥ vc_anchor − 1000 ≥ B·W − 1000 —
+    // every in-frame row lives in bucket B, or in bucket B−1's top band
+    // (vc mod W ≥ W − 1000), i.e. is an anchor or a carry-in of
+    // partition B. One hash shuffle on bkt, a per-bucket sort, and
+    // (r8 VERDICT task 6, was 2×) only 1 + band/W ≈ 1.45× row
+    // duplication of a 3-column projection — the bucket width is the
+    // duplication↔parallelism knob (measured at sf0.1: W=2000 → 23
+    // buckets, carry 44.7%; W=1000 → 44 buckets, carry 100%);
     // parallelism scales with the value range instead of collapsing to 1.
     "win_range_numeric" -> ((s, d) => {
+      val bandC = 1000L            // RANGE 10.0 PRECEDING, in centi-units
+      val w = 2 * bandC            // bucket width; must be ≥ bandC
       val base = events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value"),
           expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-        .withColumn("bkt", expr("CAST(floor(vc / 1000.0) AS BIGINT)"))
+        .withColumn("bkt", expr(s"CAST(floor(vc / $w.0) AS BIGINT)"))
       val anchors = base.withColumn("is_anchor", lit(true))
       val carryIn = base
+        .filter(expr(s"vc - $w * CAST(floor(vc / $w.0) AS BIGINT) >= ${w - bandC}"))
         .withColumn("bkt", col("bkt") + 1)
         .withColumn("is_anchor", lit(false))
       anchors.unionByName(carryIn)

@@ -308,4 +308,47 @@ class GenPropertySpec extends AnyFunSuite {
       assert(page1 ++ page2 == all)
     }
   }
+
+  // VERDICT r7 task 5 / r8 task 5: the prefix-filter candidate set must be
+  // a SUPERSET of every pair the semantic gate (round(J,6) ≥ 0.8, i.e.
+  // exact J ≥ 799999/10⁶) can accept — the last unproven dedup bound.
+  // Corpora are built to stress the prefix BOUNDARY: a tiny code universe
+  // (forced collisions), plus per-base variants that drop the SMALLEST
+  // code (shifting the indexed prefix) and append a new largest code
+  // (changing set size, hence prefix length ⌈t·n⌉ arithmetic), and exact
+  // duplicates (J = 1 with identical prefixes).
+  test("prefix-filtered Jaccard candidates ⊇ all pairs with J ≥ gate") {
+    val num = 799999L
+    val den = 1000000L
+    val setGen: Gen[Set[Long]] = for {
+      sz <- Gen.chooseNum(5, 15)
+      s <- Gen.containerOfN[Set, Long](sz, Gen.chooseNum(0L, 19L))
+    } yield s
+    val corpusGen: Gen[List[Set[Long]]] =
+      Gen.nonEmptyListOf(setGen).map(_.take(8).flatMap { b =>
+        List(b, b, b - b.min, b + 20L, (b - b.min) + 21L)
+      })
+    forAll(corpusGen) { sets =>
+      import spark.implicits._
+      val docs = sets.zipWithIndex.map { case (cs, i) => (i.toLong, cs.toArray.sorted) }
+      val got = operators.Dedup
+        .prefixJaccardPairs(docs.toDF("doc_id", "codes"), num.toInt, den.toInt)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for {
+        (a, ca) <- docs; (b, cb) <- docs if a < b
+        inter = ca.toSet.intersect(cb.toSet).size.toLong
+        union = ca.length + cb.length - inter
+        // exact rational gate test: J ≥ num/den ⟺ inter·den ≥ num·union
+        if inter * den >= num * union
+      } {
+        assert(got.contains((a, b)),
+          s"prefix filter dropped pair ($a,$b): J=$inter/$union, " +
+            s"ca=${ca.mkString(",")} cb=${cb.mkString(",")}")
+        val j = BigDecimal(inter.toDouble / union)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got((a, b)) - j) < 1e-9,
+          s"jaccard mismatch for ($a,$b): got ${got((a, b))}, want $j")
+      }
+    }
+  }
 }

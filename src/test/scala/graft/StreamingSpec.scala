@@ -239,4 +239,73 @@ class StreamingSpec extends AnyFunSuite {
         ("2024-01-02", "click", 1L, 5.0)), s"got: ${result.toSeq}")
     } finally q.stop()
   }
+
+  // VERDICT r7 task 4 / r8 task 3 "done" criterion: staging must RESTAGE
+  // when the marker is missing, stale (wrong fingerprint), or unreadable —
+  // and must NOT restage when the marker matches the current fixture.
+  test("ensureStaged restages on missing/stale/corrupt marker, reuses on match") {
+    val in = java.nio.file.Files.createTempDirectory("graft_stage_t").toString
+    val marker = java.nio.file.Paths.get(s"$in/_STAGED")
+    var runs = 0
+    def attempt(): Unit =
+      operators.Streaming.ensureStaged(spark, sf, in) {
+        runs += 1
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$in/payload.txt"), s"staging#$runs")
+      }
+    attempt()                       // fresh dir → stage
+    assert(runs == 1)
+    val fp = java.nio.file.Files.readString(marker)
+    assert(fp == operators.Streaming.eventsFingerprint(spark, sf))
+    attempt()                       // matching marker → reuse
+    assert(runs == 1, "restaged despite matching fingerprint")
+    // Stale marker (the regenerated-fixture case): old-format / wrong fp.
+    java.nio.file.Files.writeString(marker, "rows=999;maxTs=bogus")
+    attempt()
+    assert(runs == 2, "stale marker was silently trusted")
+    // The wipe-and-restage must have replaced payload AND marker.
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$in/payload.txt")) == "staging#2")
+    assert(java.nio.file.Files.readString(marker) == fp)
+    // Name-only empty marker — the exact r7 silent-wrong-data class.
+    java.nio.file.Files.writeString(marker, "")
+    attempt()
+    assert(runs == 3, "empty (name-only) marker was trusted")
+    // Unreadable marker (a directory): Try-wrapped read → restage, not throw.
+    java.nio.file.Files.delete(marker)
+    java.nio.file.Files.createDirectory(marker)
+    attempt()
+    assert(runs == 4, "unreadable marker did not trigger restage")
+    assert(java.nio.file.Files.readString(marker) == fp)
+  }
+
+  // r8 ADVICE: a regeneration preserving row count + max ts but changing
+  // row CONTENT must still change the fingerprint (xxhash64-XOR term),
+  // and a mid-JVM regeneration must bust the per-dir cache (file-sig key).
+  test("eventsFingerprint detects content-only fixture regeneration") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_t").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.write.parquet(s"$dir/events.parquet")
+    val fp1 = operators.Streaming.eventsFingerprint(spark, dir)
+    assert(fp1 == operators.Streaming.eventsFingerprint(spark, dir)) // stable
+    // Regenerate IN PLACE with identical row count and max ts but one
+    // column's contents changed — the r8-ADVICE hole in the old
+    // rows+maxTs fingerprint. The cache is keyed on file size+mtime, so
+    // the rewrite is picked up within the same JVM.
+    val mutated = raw.withColumn("event_type", upper(col("event_type")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_mut").toString
+    mutated.write.parquet(s"$tmp/events.parquet")
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmr(java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val fp2 = operators.Streaming.eventsFingerprint(spark, dir)
+    assert(fp1 != fp2, s"content-only regeneration not detected: $fp1")
+  }
 }
