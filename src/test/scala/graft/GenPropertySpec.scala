@@ -113,21 +113,27 @@ class GenPropertySpec extends AnyFunSuite {
   }
 
   test("bucketed carry-in range window equals brute-force band aggregate") {
-    // The win_range_numeric re-plan (round 7) rests on a coverage proof:
-    // partitioning by a band-width centi-value bucket plus one carry-in
-    // copy per row sees EXACTLY the rows with value in [v-10, v]. Check
-    // the whole pipeline against an O(n²) brute force on random values,
-    // including negatives (floor-division bucketing) and exact ties.
+    // The win_range_numeric re-plan (round 7, carry-trim round 9) rests on
+    // a coverage proof: partitioning by a TWO-band-wide centi-value bucket
+    // plus one carry-in copy of only each bucket's TOP band sees EXACTLY
+    // the rows with value in [v-10, v]. Check the whole pipeline — the
+    // same W/bandC/filter arithmetic the production key uses — against an
+    // O(n²) brute force on random values, including negatives
+    // (floor-division bucketing and floored mod) and exact ties.
     val valsGen = Gen.nonEmptyListOf(
       Gen.chooseNum(-3000, 3000).map(_ / 100.0))
     forAll(valsGen) { vals =>
       import spark.implicits._
+      val bandC = 1000L
+      val w = 2 * bandC
       val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("event_id", "value")
         .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
-        .withColumn("bkt", expr("CAST(floor(vc / 1000.0) AS BIGINT)"))
+        .withColumn("bkt", expr(s"CAST(floor(vc / $w.0) AS BIGINT)"))
       val anchors = df.withColumn("is_anchor", lit(true))
-      val carry = df.withColumn("bkt", $"bkt" + 1).withColumn("is_anchor", lit(false))
+      val carry = df
+        .filter(expr(s"vc - $w * CAST(floor(vc / $w.0) AS BIGINT) >= ${w - bandC}"))
+        .withColumn("bkt", $"bkt" + 1).withColumn("is_anchor", lit(false))
       val got = anchors.unionByName(carry)
         .select($"event_id", $"is_anchor",
           expr("""count(*) OVER (PARTITION BY bkt ORDER BY value
