@@ -44,6 +44,35 @@ object Streaming extends QueryModule {
     p.toString
   }
 
+  /** Fresh per-run checkpoint dir, preferring RAM-backed tmpfs
+    * (`/dev/shm`) over the disk-backed default temp dir. A streaming
+    * checkpoint is many small writes (offset log, commit log, one
+    * state-store delta per partition per micro-batch); for THESE runs it
+    * is pure harness scaffolding — created fresh and deleted in the
+    * `finally` — so its durability is irrelevant and it has no business
+    * on disk. Measured r9 (3-JVM isolated medians of the 9-key family,
+    * identical protocol): ext4 10.57 s vs tmpfs 10.09 / 10.91 s across
+    * two same-code re-runs — i.e. NEUTRAL within the noise band (the OS
+    * page cache already absorbs the small non-fsynced writes); kept on
+    * principle, not claimed as a win. The same protocol rejected
+    * 2 state partitions (10.6 s vs 4's 10.09–10.91): at ~10 state keys,
+    * scan/agg parallelism beats per-store constant overhead. The
+    * family's ~10 s floor is the per-query streaming start/stop constant
+    * (6 checkpointed multi-micro-batch queries × 3 bench samples), not
+    * removable by storage or partition config. A real deployment's
+    * checkpoint carries the restart contract and belongs on durable
+    * shared storage (HDFS/S3 via `checkpointLocation`) — this helper is
+    * explicitly the ephemeral-bench path, not deployment advice.
+    */
+  private def freshCkptDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toString
+  }
+
   /** Run `body` with session confs temporarily set, restoring (or
     * unsetting) every key on ALL exit paths. The streaming keys size
     * state parallelism / pick the state-store provider per query; a
@@ -174,7 +203,7 @@ object Streaming extends QueryModule {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val out  = tempDirReapedAtExit("graft_sbe_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sbe_ckpt").toString
+      val ckpt = freshCkptDir("graft_sbe_ckpt")
       // The file stream source watches a DIRECTORY (its real contract:
       // log files landing in a drop folder); the fixture is a single
       // file, so stage it into one via symlink — read-only, zero copy.
@@ -244,7 +273,7 @@ object Streaming extends QueryModule {
       val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
       val mid    = lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
       val out  = tempDirReapedAtExit("graft_sld_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sld_ckpt").toString
+      val ckpt = freshCkptDir("graft_sld_ckpt")
       // The three arrival files are a pure function of the fixture: stage
       // them ONCE per sf into a marker-guarded fixed dir (the
       // scan_partition_pruned recipe) and reuse across invocations — only
@@ -313,7 +342,7 @@ object Streaming extends QueryModule {
     "stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val out  = tempDirReapedAtExit("graft_sdd_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt").toString
+      val ckpt = freshCkptDir("graft_sdd_ckpt")
       // Staged arrivals are a pure function of the fixture → write once
       // per sf behind a marker (the stream_late_drop recipe); mtimes 60 s
       // apart because the file source orders pending files by mtime.
@@ -367,7 +396,7 @@ object Streaming extends QueryModule {
       import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, Trigger, TTLConfig, TimerValues, ValueState}
       import s.implicits._
       val out  = tempDirReapedAtExit("graft_sst_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sst_ckpt").toString
+      val ckpt = freshCkptDir("graft_sst_ckpt")
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sst_in_$tag"
       // transformWithState requires the RocksDB state store.
@@ -440,7 +469,7 @@ object Streaming extends QueryModule {
     "stream_stream_join" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val out  = tempDirReapedAtExit("graft_ssj_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+      val ckpt = freshCkptDir("graft_ssj_ckpt")
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_ssj_in_$tag"
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
@@ -493,7 +522,7 @@ object Streaming extends QueryModule {
     "pipeline_daily_e2e" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val out  = tempDirReapedAtExit("graft_p2e_out")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_p2e_ckpt").toString
+      val ckpt = freshCkptDir("graft_p2e_ckpt")
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_p2e_in_$tag"
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
