@@ -156,8 +156,22 @@ object Dedup extends QueryModule {
     // ReuseExchange computes that shuffle once; the confirm-join sides
     // broadcast at fixture scale. (Measured: forcing all four arms onto
     // one repartition(doc_id) exchange changed nothing — don't add one.)
+    // MATERIALIZE the input once (r9): `docs` is the JIT'd mapPartitions
+    // signature pass, and this function fans it into four consumer arms
+    // (prefix a/b + confirm a/b); broadcast builds don't participate in
+    // ReuseExchange, so without compute-once caching the char-fold over
+    // every document re-executes per arm. persist(), NOT localCheckpoint:
+    // the CacheManager substitutes the InMemoryRelation into every
+    // logically-identical subtree — including broadcast builds AND
+    // repeat invocations over the same corpus (localCheckpoint mints a
+    // fresh LogicalRDD per call, which broke dedup_cluster_cc's
+    // documented warm-rerun cache reuse: measured +20% there). At
+    // cluster scale the equivalent is persisting the signature table
+    // (or writing it to a stage) before the similarity join — you never
+    // want to recompute signatures per join arm at 100 TB either.
     val d = docs.filter(size(col("codes")) > 0)
       .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
+      .persist()
     val pref = d.select(col("doc_id"), col("nsh"),
       explode(slice(col("codes"), lit(1),
         (col("nsh") - expr(s"(${num}L * nsh + ${den - 1}) div ${den}L") + 1)
@@ -225,7 +239,14 @@ object Dedup extends QueryModule {
       val docs = codesDS(s, d)
         .select(col("doc_id"), col("codes"))
         .filter(size(col("codes")) > 0)
+      // Cache AFTER the 16 sig columns but BEFORE the band explode:
+      // the affine-min transforms are interpreted Catalyst HOFs (the
+      // expensive part here) and the self-join consumes this subtree
+      // twice — without compute-once caching both sides recompute
+      // every signature (persist, not localCheckpoint: see
+      // prefixJaccardPairs note).
       val sigs = docs.select(col("doc_id") +: col("codes") +: sigExprs: _*)
+        .persist()
         .select(col("doc_id"), col("codes"), explode(array(bandExprs: _*)).as("b"))
         .select(col("doc_id"), col("codes"), col("b.band").as("band"), col("b.key").as("key"))
       // Jaccard is computed on the JOIN OUTPUT (map-side, before any pair
@@ -276,7 +297,9 @@ object Dedup extends QueryModule {
     // every bucket at cap² pairs. Jaccard is then computed over the KEPT
     // shingle sets (the oracle applies the identical cap).
     "dedup_ngram_capped" -> ((s, d) => {
-      val docs = codesDS(s, d)
+      // Cached once: consumed by the document-frequency count AND the
+      // capped-docs projection (persist: see prefixJaccardPairs note).
+      val docs = codesDS(s, d).persist()
       val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
       val cap = documents(s, d)
         .agg(ceil(count(lit(1)) * 0.05).cast("long").as("cap"))
@@ -311,8 +334,11 @@ object Dedup extends QueryModule {
     "dedup_decontaminate" -> ((s, d) => {
       val srcs = Seq("src0", "src1", "src2", "src3", "src4")
       val lab = documents(s, d).select(col("doc_id"), col("source"))
+      // Cached once: the train and eval arms would otherwise each re-run
+      // the signature pass (persist: see prefixJaccardPairs note).
       val docs = codesDS(s, d).select(col("doc_id"), col("codes"))
         .join(lab, "doc_id")
+        .persist()
       val trainSh = docs.filter(col("source").isin(srcs: _*))
         .select(col("doc_id").as("train_id"), size(col("codes")).as("nsh"),
           explode(col("codes")).as("sh"))
@@ -395,7 +421,9 @@ object Dedup extends QueryModule {
     // SimHash (62-bit): frequency-weighted bit votes folded map-side;
     // banded join (4 bands × 16 bits) prunes pairs; exact hamming ≤ 2.
     "dedup_simhash" -> ((s, d) => {
-      val sig = simhashDS(s, d)
+      // Cached once: the banded self-join consumes the signature subtree
+      // twice (persist: see prefixJaccardPairs note).
+      val sig = simhashDS(s, d).persist()
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
