@@ -241,14 +241,16 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
           r6(expr(s"$dotVC / (norm * sqrt($dotCC))")).as("ccos"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cell"))
-      // Eager localCheckpoint: both arms of the self-join below consume
-      // cellOf, and the two aliased subtrees are NOT exchange-reused —
-      // without it the whole centroid-train + assign + rank stage runs
-      // twice (plan-audited). State is (id, vec, norm, cell) rows only.
+      // Cached: both arms of the self-join below consume cellOf, and the
+      // two aliased subtrees are NOT exchange-reused — without
+      // compute-once caching the whole centroid-train + assign + rank
+      // stage runs twice (plan-audited). persist, not localCheckpoint,
+      // for the same CacheManager-reuse reason as the Dedup family
+      // (Dedup.prefixJaccardPairs note); state is (id, vec, norm, cell).
       val cellOf = assigned.withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-        .localCheckpoint(true)
+        .persist()
       val pairs = cellOf.as("a").join(cellOf.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
