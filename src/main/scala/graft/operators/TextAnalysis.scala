@@ -176,10 +176,16 @@ object TextAnalysis extends QueryModule {
     // the broadcast-join shape.
     "text_tfidf" -> ((s, d) => {
       val docs = documents(s, d)
+      // Cached once: the df broadcast build re-derived the whole
+      // explode+aggregate otherwise (broadcast builds don't participate
+      // in ReuseExchange) — the "explicit persist of tf halves the scan
+      // work" note from the round-2 plan audit, applied in r9 with the
+      // idiom adjudicated in Dedup.prefixJaccardPairs.
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(df), "token")
@@ -195,14 +201,21 @@ object TextAnalysis extends QueryModule {
     // per-doc score joins bigrams back to both count tables (vocab-sized
     // ⇒ broadcast at real scale) and averages ln((c₁₂+1)/(c₁+V)).
     "text_bigram_lm" -> ((s, d) => {
+      // tok feeds three arms (bigram window, unigram counts, vocab) and
+      // big feeds two (corpus bigram counts + the scored join left side);
+      // two of those arms are broadcast builds, so without compute-once
+      // caching the posexplode (and the window pass) re-run per arm —
+      // persist, same idiom as Dedup.prefixJaccardPairs (r9).
       val tok = documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("col", "token")
+        .persist()
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val big = tok
         .withColumn("prev", lag(col("token"), 1).over(w))
         .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("prev"), col("token"))
+        .persist()
       val bc = big.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c12"))
       val uc = tok.groupBy(col("token").as("prev")).agg(count(lit(1)).as("c1"))
       val v = tok.select(col("token")).distinct()
