@@ -221,8 +221,17 @@ object Streaming extends QueryModule {
       // small, so a low state-partition count is the RIGHT setting there
       // too — state parallelism should track key cardinality, not the
       // batch shuffle width.
+      // No-data micro-batches exist to advance the watermark so append-mode
+      // aggregations can emit closed windows; this query has no watermark
+      // (complete mode re-emits the full aggregate every batch), so a
+      // trailing no-data batch would only re-run the foreachBatch full
+      // rewrite for nothing. Disabled here and on every streaming key whose
+      // emission doesn't depend on a post-data watermark advance; the one
+      // key that DOES (stream_late_drop: append agg emits closed day
+      // windows only when the watermark passes them) keeps the default.
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+          "spark.sql.streaming.minBatchesToRetain" -> "2",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") { try {
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -348,8 +357,14 @@ object Streaming extends QueryModule {
       // apart because the file source orders pending files by mtime.
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_sdd_in_$tag"
+      // dropDuplicatesWithinWatermark is a stateful FILTER: survivors emit
+      // in the same data batch they arrive in, and the watermark only
+      // bounds state eviction (irrelevant here — the checkpoint is
+      // discarded after the run). The trailing no-data batch would commit
+      // an empty batch for nothing; skip it.
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+          "spark.sql.streaming.minBatchesToRetain" -> "2",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") { try {
         ensureStaged(s, d, in) {
           val ev = events(s, d)
           val t0 = System.currentTimeMillis() - 180000
@@ -403,6 +418,9 @@ object Streaming extends QueryModule {
       withConf(s,
         "spark.sql.shuffle.partitions" -> "4",
         "spark.sql.streaming.minBatchesToRetain" -> "2",
+        // TimeMode.None: no watermark, no timers — a no-data batch can
+        // never fire new emissions, so don't schedule one.
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       ) { try {
@@ -472,8 +490,13 @@ object Streaming extends QueryModule {
       val ckpt = freshCkptDir("graft_ssj_ckpt")
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_ssj_in_$tag"
+      // Stream-stream INNER join emits each pair in the data batch where
+      // the match lands (watermarks only bound buffered state / lateness,
+      // and both files arrive in batch 0) — the trailing no-data batch
+      // would only evict state we're about to delete with the checkpoint.
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+          "spark.sql.streaming.minBatchesToRetain" -> "2",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") { try {
         ensureStaged(s, d, in) {
           val ev = events(s, d).filter(col("user_id").isNotNull)
           ev.filter(col("event_type") === "purchase")
@@ -525,8 +548,12 @@ object Streaming extends QueryModule {
       val ckpt = freshCkptDir("graft_p2e_ckpt")
       val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val in = s"/tmp/graft_p2e_in_$tag"
+      // Update-mode aggregation without a watermark: every emission
+      // happens in a data batch (state never expires), so a no-data batch
+      // would only re-fire foreachBatch's dynamic-overwrite for nothing.
       withConf(s, "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.minBatchesToRetain" -> "2") { try {
+          "spark.sql.streaming.minBatchesToRetain" -> "2",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") { try {
         ensureStaged(s, d, in) {
           val ev = events(s, d)
             .select(col("event_id"), col("ts"), col("event_type"), col("value"))
