@@ -59,7 +59,10 @@ object Streaming extends QueryModule {
     * scan/agg parallelism beats per-store constant overhead. The
     * family's ~10 s floor is the per-query streaming start/stop constant
     * (6 checkpointed multi-micro-batch queries × 3 bench samples), not
-    * removable by storage or partition config. A real deployment's
+    * removable by storage or partition config. One later trim that IS
+    * semantics-free: skipping the trailing no-data micro-batch on the
+    * keys whose emission never depends on it (see the per-key withConf
+    * sites and BASELINE.md's no-data addendum). A real deployment's
     * checkpoint carries the restart contract and belongs on durable
     * shared storage (HDFS/S3 via `checkpointLocation`) — this helper is
     * explicitly the ephemeral-bench path, not deployment advice.
