@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryModule {
   import T._
 
+  /** Idempotently register the `mean_vec` UDAF (VectorAvg) — the three
+    * consumer keys each ensure it, and an unguarded `udf.register` logs a
+    * replace-function warning per call (r8 VERDICT nit).
+    */
+  private def registerMeanVec(s: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("mean_vec")
+    if (!s.sessionState.functionRegistry.functionExists(id))
+      s.udf.register("mean_vec", udaf(VectorAvg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+  }
+
   /** Left-to-right double-precision dot product a·b (both array<float>). */
   private def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -116,9 +127,7 @@ object Similarity extends QueryModule {
     */
   private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val meanVec = udaf(VectorAvg,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    s.udf.register("mean_vec", meanVec)
+    registerMeanVec(s)
     val e = embeddings(s, d)
     val cents = e.groupBy(col("label").as("cell"))
       .agg(expr("mean_vec(embedding)").as("c"))
@@ -222,9 +231,7 @@ object Similarity extends QueryModule {
     // both engines (by neighbor id).
     "dedup_embed_cosine" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      val meanVec = udaf(VectorAvg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      s.udf.register("mean_vec", meanVec)
+      registerMeanVec(s)
       // Norms once per vector (map-side), not three dot products per pair.
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
@@ -265,9 +272,7 @@ object Similarity extends QueryModule {
     // Typed UDAF: per-label mean embedding via a custom Aggregator with
     // (sums[64], count) partial state — map-side combine, one shuffle.
     "udaf_vector_avg" -> ((s, d) => {
-      val meanVec = udaf(VectorAvg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      s.udf.register("mean_vec", meanVec)
+      registerMeanVec(s)
       // Output is exploded to (label, n_vecs, dim, mean_val) scalar rows:
       // the driver's compare sorts rows with pandas, which cannot order an
       // array-valued column (r1 udaf_vector_avg failed exactly there).
