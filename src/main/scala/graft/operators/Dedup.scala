@@ -420,25 +420,37 @@ object Dedup extends QueryModule {
 
     // SimHash (62-bit): frequency-weighted bit votes folded map-side;
     // banded join (4 bands × 16 bits) prunes pairs; exact hamming ≤ 2.
-    "dedup_simhash" -> ((s, d) => {
+    "dedup_simhash" -> ((s, d) =>
       // Cached once: the banded self-join consumes the signature subtree
       // twice (persist: see prefixJaccardPairs note).
-      val sig = simhashDS(s, d).persist()
-      val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        // Filter BEFORE the pair-dedup: hamming is identical for every
-        // banded copy of a pair, and candidates outnumber survivors ~1000×
-        // on clustered corpora — dedup only what passed.
-        .filter(col("hamming") <= 2)
-        .dropDuplicates("a_id", "b_id")
-    })
+      simhashBandPairs(simhashDS(s, d).persist()))
   )
+
+  /** Banded simhash near-dup pairs over (doc_id, simhash): 4 bands of
+    * 16 bits key the candidate equi-join; exact `bit_count` hamming ≤ 2
+    * confirms. LOSSLESS by pigeonhole: a pair differing in ≤ 3 bits
+    * can't place a differing bit in all 4 disjoint bands, so it matches
+    * on at least one band key — the candidate set provably contains
+    * every hamming ≤ 2 pair, and the exact filter makes the output
+    * EXACTLY that set (property-tested in GenPropertySpec on random
+    * planted-flip corpora). Factored out (the prefixJaccardPairs
+    * pattern) so the guarantee is testable off-fixture.
+    */
+  private[graft] def simhashBandPairs(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      // Filter BEFORE the pair-dedup: hamming is identical for every
+      // banded copy of a pair, and candidates outnumber survivors ~1000×
+      // on clustered corpora — dedup only what passed.
+      .filter(col("hamming") <= 2)
+      .dropDuplicates("a_id", "b_id")
+  }
 
   def oracleSql: Map[String, String] = {
     val sigSelects = (0 until K).map { i =>

@@ -323,6 +323,44 @@ class GenPropertySpec extends AnyFunSuite {
   // code (shifting the indexed prefix) and append a new largest code
   // (changing set size, hence prefix length ⌈t·n⌉ arithmetic), and exact
   // duplicates (J = 1 with identical prefixes).
+  // The banded simhash join's recall guarantee is pigeonhole-deterministic:
+  // 4 disjoint 16-bit bands can't all contain a differing bit when only
+  // ≤ 3 bits differ, so every hamming ≤ 2 pair matches some band key and
+  // the exact bit_count filter then makes the output EXACTLY the
+  // hamming ≤ 2 pair set. Corpora plant near-dups by flipping 0–3 random
+  // bits of shared base signatures (3-bit flips exercise the just-outside
+  // boundary), plus independent random signatures for background mass.
+  test("banded simhash pairs = exactly the hamming ≤ 2 pairs") {
+    val sigGen: Gen[List[Long]] = for {
+      nBase <- Gen.chooseNum(2, 5)
+      bases <- Gen.listOfN(nBase, Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(_ & ((1L << 62) - 1)))
+      variants <- Gen.listOfN(nBase, for {
+        nFlip <- Gen.chooseNum(0, 3)
+        bits <- Gen.listOfN(nFlip, Gen.chooseNum(0, 61))
+      } yield bits)
+      extra <- Gen.listOfN(4, Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(_ & ((1L << 62) - 1)))
+    } yield bases ++ bases.zip(variants).map { case (b, bits) =>
+      bits.foldLeft(b)((acc, i) => acc ^ (1L << i))
+    } ++ extra
+    forAll(sigGen) { sigs =>
+      import spark.implicits._
+      val docs = sigs.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+      val got = operators.Dedup
+        .simhashBandPairs(docs.toDF("doc_id", "simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+      val want = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= 2
+      } yield (a, b) -> h.toLong).toMap
+      assert(got == want,
+        s"banded pairs ≠ brute force: missing=${(want.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- want.keySet).take(5)}")
+    }
+  }
+
   test("prefix-filtered Jaccard candidates ⊇ all pairs with J ≥ gate") {
     val num = 799999L
     val den = 1000000L
