@@ -157,23 +157,15 @@ object Joins extends QueryModule {
     }),
 
     // As-of join: each purchase → latest prior-or-equal click of the same
-    // user. Union + one window pass (last non-null over time) — a single
-    // shuffle on user_id; no correlated subquery, no cross product.
+    // user (see asofLatest below — factored for the off-fixture tie
+    // property test).
     "join_asof_latest" -> ((s, d) => {
       val e = events(s, d)
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(0).as("tag"),
-          lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("tag"),
-          col("event_id"), lit(null).cast("timestamp").as("click_ts"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
-        .rowsBetween(Long.MinValue, 0)
-      clicks.unionByName(purchases)
-        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select(col("event_id"), col("user_id"), col("asof_click_ts"))
+      asofLatest(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")))
     }),
 
     "join_cross_small" -> ((s, d) => {
@@ -276,6 +268,32 @@ object Joins extends QueryModule {
           sum(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("total_cents"))
     })
   )
+
+  /** As-of join via union + one window pass: tag clicks 0 / purchases 1,
+    * sort each user's merged timeline by (ts, tag), and take the last
+    * non-null click ts over the unbounded-preceding frame — a SINGLE
+    * shuffle on user_id; no correlated subquery, no per-row range join,
+    * no cross product. The (ts, tag) tiebreak makes the bound INCLUSIVE:
+    * a click at exactly the purchase's ts sorts before it (0 < 1) and is
+    * visible to the frame, matching `c.ts <= p.ts`. Purchases with no
+    * prior click get null. Clicks: (user_id, ts); purchases: (event_id,
+    * user_id, ts). Property-tested off-fixture with forced ts collisions
+    * in GenPropertySpec; the 100 TB shape note: the merged-window form
+    * scales with the timeline, not clicks × purchases.
+    */
+  private[graft] def asofLatest(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts"), lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Long.MinValue, 0)
+    c.unionByName(p)
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_click_ts"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "join_broadcast_dim" -> """

@@ -323,6 +323,40 @@ class GenPropertySpec extends AnyFunSuite {
   // code (shifting the indexed prefix) and append a new largest code
   // (changing set size, hence prefix length ⌈t·n⌉ arithmetic), and exact
   // duplicates (J = 1 with identical prefixes).
+  // The as-of join's inclusive bound rides on the (ts, tag) tiebreak: a
+  // click at EXACTLY the purchase's ts must be visible (c.ts <= p.ts).
+  // The fixture rarely collides timestamps, so force collisions here: a
+  // tiny ts range makes same-user same-second click/purchase pairs (and
+  // duplicate clicks on one ts) common, and the result must equal the
+  // brute-force latest-prior-or-equal click per purchase, null when none.
+  test("as-of join equals brute force under forced ts collisions") {
+    val evGen: Gen[List[(Long, Int, Boolean)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0, 8)
+        p <- Gen.oneOf(true, false)
+      } yield (u, t, p))
+    forAll(evGen) { evs =>
+      import spark.implicits._
+      val rows = evs.zipWithIndex.map { case ((u, t, p), i) => (i.toLong, u, t, p) }
+      val df = rows.toDF("event_id", "user_id", "tsec", "is_p")
+        .withColumn("ts", timestamp_seconds(col("tsec")))
+      val got = operators.Joins.asofLatest(
+          df.filter(!col("is_p")).select(col("user_id"), col("ts")),
+          df.filter(col("is_p")).select(col("event_id"), col("user_id"), col("ts")))
+        .collect()
+        .map(r => r.getLong(0) ->
+          Option(r.getTimestamp(2)).map(_.toInstant.getEpochSecond)).toMap
+      val want = rows.filter(_._4).map { case (id, u, t, _) =>
+        val prior = rows.collect { case (_, cu, ct, false) if cu == u && ct <= t => ct }
+        id -> (if (prior.isEmpty) None else Some(prior.max.toLong))
+      }.toMap
+      assert(got == want,
+        s"as-of mismatch: ${got.toSet.diff(want.toSet).take(3)} vs " +
+          s"want ${want.toSet.diff(got.toSet).take(3)} on rows=$rows")
+    }
+  }
+
   // The banded simhash join's recall guarantee is pigeonhole-deterministic:
   // 4 disjoint 16-bit bands can't all contain a differing bit when only
   // ≤ 3 bits differ, so every hamming ≤ 2 pair matches some band key and
