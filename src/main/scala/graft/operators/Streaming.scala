@@ -592,8 +592,15 @@ object Streaming extends QueryModule {
     }),
 
     // Per-user session windows, 5-minute gap. Session end = last event +
-    // gap (end-exclusive merge: an event at exactly prev_end starts a new
-    // session) — the oracle's gaps-and-islands flag uses >= to match.
+    // gap, and the merge is END-INCLUSIVE: an event at exactly prev_end
+    // (= prev event + gap) MERGES into the session — Spark's session
+    // merge condition is sessionStart <= currentEnd, adjacent windows
+    // included. Proven off-fixture by the GenPropertySpec island-merge
+    // property with forced boundary arrivals (which caught the oracle's
+    // original `>=` new-session flag as a latent divergence: fixture
+    // microsecond timestamps never land exactly on a gap boundary, so
+    // the hash gate alone could never see it). The oracle's
+    // gaps-and-islands flag uses `>` to match.
     "stream_session_5m" -> ((s, d) => {
       events(s, d)
         .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
@@ -701,7 +708,7 @@ object Streaming extends QueryModule {
       WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
+                         OR ts > lag(ts) OVER w + INTERVAL '5 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -323,6 +323,46 @@ class GenPropertySpec extends AnyFunSuite {
   // code (shifting the indexed prefix) and append a new largest code
   // (changing set size, hence prefix length ⌈t·n⌉ arithmetic), and exact
   // duplicates (J = 1 with identical prefixes).
+  // Session-window merge is END-INCLUSIVE: an event at exactly
+  // prev_session_end (= last event + gap) MERGES into the session
+  // (Spark merges adjacent windows: sessionStart <= currentEnd). The
+  // fixture's microsecond timestamps essentially never land exactly on
+  // a gap boundary, so force it: integer-second events with gap 5 make
+  // exact-boundary arrivals common, and Spark's session_window must
+  // equal the brute-force island merge. This property CAUGHT the
+  // stream_session_5m oracle's original `>=` new-session flag (an
+  // end-EXCLUSIVE reading) as a latent hash divergence on boundary
+  // data — the flag is now `>`.
+  test("session_window equals brute-force end-inclusive island merge") {
+    val evGen: Gen[List[(Long, Int)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 2L)
+        t <- Gen.chooseNum(0, 30)
+      } yield (u, t))
+    forAll(evGen) { evs =>
+      import spark.implicits._
+      val got = evs.toDF("user_id", "tsec")
+        .withColumn("ts", timestamp_seconds(col("tsec")))
+        .groupBy(session_window(col("ts"), "5 seconds").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").cast("long").as("s"),
+          col("w.end").cast("long").as("e"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = evs.groupBy(_._1).toList.flatMap { case (u, us) =>
+        val ts = us.map(_._2.toLong).sorted
+        val islands = ts.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((s, e, n) :: rest, t) if t <= e => (s, math.max(e, t + 5), n + 1) :: rest
+          case (acc, t) => (t, t + 5, 1L) :: acc
+        }
+        islands.map { case (s, e, n) => (u, s, e, n) }
+      }.toSet
+      assert(got == want,
+        s"session islands mismatch: got ${got.diff(want).take(3)} " +
+          s"want ${want.diff(got).take(3)} on evs=$evs")
+    }
+  }
+
   // The as-of join's inclusive bound rides on the (ts, tag) tiebreak: a
   // click at EXACTLY the purchase's ts must be visible (c.ts <= p.ts).
   // The fixture rarely collides timestamps, so force collisions here: a
