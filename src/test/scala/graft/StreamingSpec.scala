@@ -49,6 +49,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Streaming session windows must merge with the SAME end-inclusive
+  // boundary rule the batch form has (GenPropertySpec proved batch: an
+  // event at exactly prev_end merges; the session_5m oracle flag is `>`).
+  // Golden: events at 00:00 and 00:05 with a 5-minute gap — exactly
+  // adjacent — form ONE session [00:00, 00:10); an event at 00:10:01
+  // (one second PAST the new end) starts a second session.
+  test("streaming session_window merges an event at exactly prev_end") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "u")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("u"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("sess_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), "a"),   // session opens, end 00:05
+        (ts("2024-01-01 00:05:00"), "a"),   // exactly at end → MERGES, end 00:10
+        (ts("2024-01-01 00:10:01"), "a"))   // past end → new session
+      q.processAllAvailable()
+      // Advance the watermark far past both sessions so append emits them.
+      mem.addData((ts("2024-01-01 01:00:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_boundary").filter(col("u") === "a")
+        .select(col("w.start").cast("string"), col("w.end").cast("string"),
+          col("count")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "2024-01-01 00:10:00", 2L),
+        ("2024-01-01 00:10:01", "2024-01-01 00:15:01", 1L)),
+        s"streaming session boundary semantics diverged: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the watermark horizon") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
