@@ -49,6 +49,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Pin the two exact-boundary comparators the stream_late_drop oracle
+  // models, on data the fixture's microsecond timestamps can never
+  // produce: (1) append mode EMITS a window whose end equals the
+  // watermark exactly (emission rule `end <= wm`, matching the oracle's
+  // `day + 1 DAY <= wm`); (2) a row with event time exactly AT the
+  // watermark is NOT late (drop rule `ts < wm`, keep-at-boundary).
+  test("append emission and late-drop rules at the exact watermark boundary") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("wm_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:05:00"), "a"))   // window [00:00, 00:10)
+      q.processAllAvailable()
+      // Advance event time so wm = 00:20 - 10m = EXACTLY window1's end.
+      mem.addData((ts("2024-01-01 00:20:00"), "a"))   // window [00:20, 00:30)
+      q.processAllAvailable()
+      val afterEq = spark.table("wm_boundary")
+        .select(col("window.start").cast("string")).collect().map(_.getString(0)).toSet
+      assert(afterEq.contains("2024-01-01 00:00:00"),
+        s"window with end == watermark was NOT emitted (rule would be `end < wm`): $afterEq")
+      // A row exactly AT the current watermark (00:10:00) must be kept:
+      // it lands in the open window [00:10, 00:20), which closes once the
+      // watermark passes 00:20.
+      mem.addData((ts("2024-01-01 00:10:00"), "a"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:40:00"), "a"))   // wm → 00:30
+      q.processAllAvailable()
+      val counts = spark.table("wm_boundary")
+        .select(col("window.start").cast("string"), col("count")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts.get("2024-01-01 00:10:00").contains(1L),
+        s"row exactly at the watermark was dropped (rule would be `ts <= wm`): $counts")
+    } finally q.stop()
+  }
+
   // Streaming session windows must merge with the SAME end-inclusive
   // boundary rule the batch form has (GenPropertySpec proved batch: an
   // event at exactly prev_end merges; the session_5m oracle flag is `>`).
