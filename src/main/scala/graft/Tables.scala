@@ -28,15 +28,28 @@ object T {
   def part(s: SparkSession, d: String): DataFrame     = tbl(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = tbl(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = tbl(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and truncate to µs —
-    * bit-identical to DuckDB's own ns→µs read-time truncation, so oracle
-    * comparisons on ts are exact.
+  /** events.ts normalized to TIMESTAMP (LTZ) across fixture generations.
+    * Earlier driver fixtures wrote TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL) — readable only as raw longs
+    * under `nanosAsLong`, then truncated to µs (bit-identical to DuckDB's
+    * own ns→µs read-time truncation). Current fixtures write timestamp[µs]
+    * without UTC adjustment, which Spark reads as TIMESTAMP_NTZ. The
+    * session TZ is pinned UTC (build.sbt), so the NTZ→LTZ cast is
+    * value-preserving and both generations land on identical µs instants
+    * — every downstream window/watermark/date_trunc sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(tbl(s, d, "events"))
   }
+
+  /** ts → TimestampType for either fixture generation (see [[events]]). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 

@@ -202,7 +202,8 @@ object Streaming extends QueryModule {
     "stream_batch_equiv" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       // Stream sources can't infer schema: take it from the batch reader
-      // (ts arrives as raw nanos long under nanosAsLong — see T.events).
+      // (ts arrives as raw long / NTZ per fixture generation — see
+      // T.events; T.normalizeTs below maps either to TIMESTAMP).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val out  = tempDirReapedAtExit("graft_sbe_out")
@@ -238,8 +239,7 @@ object Streaming extends QueryModule {
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-        val agg = s.readStream.schema(schema).parquet(in.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = T.normalizeTs(s.readStream.schema(schema).parquet(in.toString))
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("total_cents"))
