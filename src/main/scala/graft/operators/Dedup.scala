@@ -74,7 +74,14 @@ object Dedup extends QueryModule {
   // The arithmetic is identical to the DuckDB fragments above (ASCII
   // fixtures ⇒ char code == ascii()); oracle parity is exact.
 
-  /** (doc_id, token codes, distinct 3-gram shingle codes). */
+  /** (doc_id, token codes, distinct 3-gram shingle codes). No
+    * layout-decoupling repartition before the fold, by measurement: on
+    * the single-row-group 2026-08-13 fixtures a pre-fold exchange moved
+    * isolated 2-JVM medians 1.75→1.89 s (dedup_ngram_jaccard) — the
+    * JIT'd fold is cheaper than the exchange it would parallelize, and
+    * the candidate joins re-shuffle on short codes right after anyway
+    * (see the layout note in Tables.scala).
+    */
   private def codesDS(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -154,8 +161,14 @@ object Dedup extends QueryModule {
   private[graft] def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     // The two prefix-join sides are identical canonicalized subtrees, so
     // ReuseExchange computes that shuffle once; the confirm-join sides
-    // broadcast at fixture scale. (Measured: forcing all four arms onto
-    // one repartition(doc_id) exchange changed nothing — don't add one.)
+    // broadcast at fixture scale. (Measured twice: on multi-row-group
+    // fixtures, forcing all four arms onto one repartition(doc_id)
+    // exchange changed nothing; on the single-row-group 2026-08-13
+    // fixtures, a repartition before the signature fold REGRESSED
+    // isolated medians 1.75→1.89 s — don't add an exchange here. The persist
+    // below caches at the scan's partitioning; the candidate joins
+    // re-shuffle on short codes immediately after, which is where the
+    // parallelism recovers.)
     // MATERIALIZE the input once (r9): `docs` is the JIT'd mapPartitions
     // signature pass, and this function fans it into four consumer arms
     // (prefix a/b + confirm a/b); broadcast builds don't participate in

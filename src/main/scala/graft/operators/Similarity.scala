@@ -233,6 +233,12 @@ object Similarity extends QueryModule {
       graft.functions.VectorFunctions.register(s)
       registerMeanVec(s)
       // Norms once per vector (map-side), not three dot products per pair.
+      // (A pre-assignment repartition to undo the single-row-group
+      // 2026-08-13 fixture layout was measured and rejected here too:
+      // isolated 2-JVM medians 2.40 s with vs 2.10 s without — the
+      // assignment cross join is small enough that the exchange costs
+      // more than the serial compute it parallelizes. See
+      // Dedup.codesDS for the same adjudication on the text side.)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
