@@ -31,4 +31,30 @@ class ContractSpec extends AnyFunSuite {
       withClue(name)(assert(n >= 0))
     }
   }
+
+  test("T.normalizeTs maps both fixture generations to TIMESTAMP") {
+    // The 2026-08-13 regeneration switched events.ts from TIMESTAMP(NANOS)
+    // (readable only as raw longs) to timestamp[µs]/NTZ; a future
+    // regeneration could switch back. Both branches must stay alive:
+    // identical instants out, TimestampType out, regardless of input type.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    import spark.implicits._
+    val microsUtc = 1704067199123456L // 2023-12-31 23:59:59.123456 UTC
+    // Legacy generation: ts arrives as raw NANOS long.
+    val legacy = T.normalizeTs(Seq(microsUtc * 1000L).toDF("ts"))
+    // Current generation: ts arrives as TIMESTAMP_NTZ (µs, UTC session).
+    val ntz = T.normalizeTs(
+      Seq(microsUtc).toDF("us")
+        .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts")))
+    for ((df, gen) <- Seq(legacy -> "legacy-nanos", ntz -> "ntz-micros")) {
+      withClue(gen) {
+        assert(df.schema("ts").dataType == TimestampType)
+        assert(df.select(unix_micros(col("ts"))).head.getLong(0) == microsUtc)
+      }
+    }
+    // And the live fixture loader lands on the same contract: every
+    // watermark/window/date_trunc downstream assumes TimestampType.
+    assert(T.events(spark, sf).schema("ts").dataType == TimestampType)
+  }
 }
