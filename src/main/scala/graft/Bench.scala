@@ -11,6 +11,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Oracle-parity invariant (see T.normalizeTs): don't depend on the
+      // sbt fork's -D flag alone — a Bench launched any other way must
+      // still read NTZ fixtures as UTC instants.
+      .config("spark.sql.session.timeZone", "UTC")
       // At 100 TB a table is thousands of ≥128 MB splits and every core
       // has work; the sf0.1 fixtures are single ~50 MB files, which the
       // default 128 MB split turns into 1–3 partitions — a 32-core run

@@ -48,6 +48,19 @@ object T {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // The NTZ→LTZ cast reinterprets the wall-clock fields in the
+        // SESSION timezone — value-preserving ONLY under UTC. That
+        // invariant lives in session config (build.sbt fork options /
+        // each builder), not in this code path, so fail loudly rather
+        // than silently shifting every instant if a caller ever runs
+        // non-UTC (r9 ADVICE). The legacy nanos branch above is
+        // TZ-independent and needs no guard.
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: the NTZ->TIMESTAMP cast requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz')")
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
   def documents(s: SparkSession, d: String): DataFrame  = tbl(s, d, "documents")

@@ -43,10 +43,17 @@ class ContractSpec extends AnyFunSuite {
     val microsUtc = 1704067199123456L // 2023-12-31 23:59:59.123456 UTC
     // Legacy generation: ts arrives as raw NANOS long.
     val legacy = T.normalizeTs(Seq(microsUtc * 1000L).toDF("ts"))
-    // Current generation: ts arrives as TIMESTAMP_NTZ (µs, UTC session).
+    // Current generation: ts arrives as TIMESTAMP_NTZ. Built from LITERAL
+    // wall-clock fields (make_timestamp_ntz), NOT via a round-trip cast:
+    // a cast-constructed NTZ and the cast back are inverse session-TZ
+    // shifts, so that leg would pass under ANY timezone and could never
+    // catch the cast ceasing to be value-preserving (r9 ADVICE). With a
+    // literal NTZ, the unix_micros equality below holds ONLY when the
+    // NTZ→LTZ cast runs under a UTC session — the invariant normalizeTs
+    // now asserts.
     val ntz = T.normalizeTs(
-      Seq(microsUtc).toDF("us")
-        .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts")))
+      spark.sql(
+        "SELECT make_timestamp_ntz(2023, 12, 31, 23, 59, 59.123456) AS ts"))
     for ((df, gen) <- Seq(legacy -> "legacy-nanos", ntz -> "ntz-micros")) {
       withClue(gen) {
         assert(df.schema("ts").dataType == TimestampType)

@@ -102,6 +102,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(comp.forall(_._3 == 8L), s"cluster_size 8 everywhere: ${comp.toSeq}")
   }
 
+  // VERDICT r9 task 6: the decontamination oracle's `n_shared >= 10`
+  // threshold has never been exercised AT the boundary — fixture word
+  // soup either overlaps heavily or not at all. Craft one train doc
+  // sharing EXACTLY 10 distinct shingles with the eval set (kept, frac
+  // 1.0) and one sharing exactly 9 (dropped): k tokens ⇒ k−2 distinct
+  // 3-gram shingles, and the eval doc embeds both texts verbatim.
+  test("decontaminate threshold boundary: exactly 10 shared shingles kept, 9 dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_bnd").toString
+    def text(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val a = text("alpha", 12) // 10 distinct shingles
+    val b = text("beta", 11)  // 9 distinct shingles
+    Seq(
+      (1L, a, "en", "src0", a.length.toLong),
+      (2L, b, "en", "src1", b.length.toLong),
+      // Eval doc contains both train texts contiguously, so every train
+      // shingle appears in the eval distinct-shingle set (the splice
+      // point only ADDS cross-boundary shingles, which match nothing).
+      (3L, s"$a splice $b", "en", "evalhold", (a.length + b.length + 8).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 1.0)),
+      s"threshold boundary diverged (expect doc 1 at n_shared=10 only): $got")
+  }
+
   test("stratified sample: exactly min(20, |stratum|) per lang, stable across runs") {
     val s1 = SparkEntry.queries("sample_stratified")(spark, sf)
     val perLang = s1.groupBy(col("lang")).agg(count(lit(1)).as("k"))

@@ -356,6 +356,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(marker) == fp)
   }
 
+  // VERDICT r9 task 6: the stream_late_drop oracle's emission rule
+  // (`day + 1 DAY <= wm`, INCLUSIVE) has never been exercised at the
+  // boundary — fixture microsecond timestamps never produce a day-window
+  // end exactly equal to max(on-time ts) − 1 h. Craft a fixture where
+  // they coincide and run the REAL driver key end-to-end (staging,
+  // three micro-batches, checkpoint, two-watermark lateness model):
+  // every rule the oracle models must hold, including the boundary.
+  test("stream_late_drop end-to-end: day window ending exactly at the watermark is emitted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sld_bnd").toString
+    def ev(id: Long, t: String): (Long, Timestamp, Long, String, Double, String) =
+      (id, ts(t), id % 5, "a", 1.0, "{}")
+    Seq(
+      // On-time file (ts ≥ Jan 10). Max on-time ts = Jan 12 01:00:00
+      // → final watermark = Jan 12 00:00:00 EXACTLY (1 h delay).
+      ev(1, "2024-01-10 10:00:00"),
+      ev(2, "2024-01-10 11:00:00"),
+      ev(3, "2024-01-11 05:00:00"), // window [Jan 11, Jan 12): end == wm
+      ev(4, "2024-01-12 01:00:00"), // sets the watermark; own window open
+      // Mid file (Jan 5 ≤ ts < Jan 10): passes the one-batch-lagging
+      // late filter, aggregated + emitted.
+      ev(5, "2024-01-06 08:00:00"),
+      ev(6, "2024-01-06 09:00:00"),
+      // Truly late (ts < Jan 5): dropped by the advanced watermark.
+      ev(7, "2024-01-03 00:00:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    try {
+      val got = SparkEntry.queries("stream_late_drop")(spark, dir)
+        .select(col("day").cast("string"), col("event_type"), col("n"),
+          col("total_cents"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == Set(
+        ("2024-01-06", "a", 2L, 200L),
+        ("2024-01-10", "a", 2L, 200L),
+        // THE BOUNDARY ROW: window end Jan 12 00:00 == watermark. Absent
+        // ⇒ Spark's emission rule is strict `<` and the oracle's `<=`
+        // is wrong; present with Jan 12's window also present ⇒ the
+        // open-window rule is wrong.
+        ("2024-01-11", "a", 1L, 100L)),
+        s"late-drop boundary semantics diverged: $got")
+    } finally {
+      // The key stages arrivals into a per-fixture /tmp dir keyed by the
+      // (unique) temp dir name — reap it so test runs don't accumulate.
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(dir, s"/tmp/graft_sld_in_$tag").foreach { p =>
+        val path = java.nio.file.Paths.get(p)
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(path))
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  // VERDICT r9 task 3: the r9 fixture-regeneration event, as a spec. The
+  // SAME JVM sees the fixture swapped under it (the driver's mid-session
+  // regeneration); the fingerprint cache is keyed on the on-disk file
+  // signature, so ensureStaged must miss the cache, re-fingerprint, and
+  // restage — no manual marker tampering involved (the test above covers
+  // marker corruption; this one covers the cache keying).
+  test("ensureStaged restages after an in-place fixture regeneration (mid-JVM)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.write.parquet(s"$dir/events.parquet")
+    val in = java.nio.file.Files.createTempDirectory("graft_regen_in").toString
+    var runs = 0
+    def attempt(): Unit =
+      operators.Streaming.ensureStaged(spark, dir, in) { runs += 1 }
+    attempt()
+    assert(runs == 1)
+    attempt()
+    assert(runs == 1, "restaged an unchanged fixture")
+    // Regenerate IN PLACE: same path, same schema, changed content
+    // (value column shifted) — the exact driver scenario.
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val mutated = raw.withColumn("value", col("value") + 1.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_regen_mut").toString
+    mutated.write.parquet(s"$tmp/events.parquet")
+    rmr(java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    attempt()
+    assert(runs == 2, "mid-JVM regeneration was not restaged (stale cache key?)")
+    attempt()
+    assert(runs == 2, "restaged again on the stable new generation")
+  }
+
   // r8 ADVICE: a regeneration preserving row count + max ts but changing
   // row CONTENT must still change the fingerprint (xxhash64-XOR term),
   // and a mid-JVM regeneration must bust the per-dir cache (file-sig key).
