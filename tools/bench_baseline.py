@@ -31,6 +31,11 @@ def run_once(i: int, keys: str | None) -> dict:
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
         SPARK_GRAFT_BENCH_FULL=out,
+        # Pinning runs must be pure min-of-3: Bench's early-accept reads
+        # the EXISTING bench_baseline.json, and letting the pin's own
+        # input be truncated by the previous pin would bias medians up
+        # across re-pins.
+        SPARK_GRAFT_EARLY_ACCEPT="0",
     )
     if keys:
         env["SPARK_GRAFT_KEYS"] = keys
