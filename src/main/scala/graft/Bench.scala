@@ -161,8 +161,21 @@ object Bench {
       // A failed query reports -1 (never a bogus near-zero timing).
       try {
         val acc = acceptAt.get(name)
+        // The six checkpointed streaming keys cap at TWO samples (r9
+        // verdict task 2): each retry re-pays a ~2 s start/stop constant
+        // (checkpoint init, offset/commit logs, state stores × micro-
+        // batches), so a third sample under sustained contention buys
+        // ~nothing statistically while adding ~12 s of exposure window —
+        // exactly the amplifier that blew the r9 driver sample to 2.2×.
+        // Batch keys keep min-of-3. Pinning runs (early-accept disabled
+        // via SPARK_GRAFT_EARLY_ACCEPT=0) keep pure min-of-3 everywhere
+        // so pinned medians stay comparable across rounds.
+        val cap =
+          if (streamingKeys(name) &&
+              sys.env.getOrElse("SPARK_GRAFT_EARLY_ACCEPT", "1") == "1") 2
+          else 3
         val buf = scala.collection.mutable.ArrayBuffer[Double](once())
-        while (buf.length < 3 && !acc.exists(a => buf.min <= a)) buf += once()
+        while (buf.length < cap && !acc.exists(a => buf.min <= a)) buf += once()
         name -> buf.toSeq
       } catch { case _: Throwable => name -> Seq(-1.0) }
     }

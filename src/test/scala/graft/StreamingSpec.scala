@@ -451,6 +451,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(runs == 2, "restaged again on the stable new generation")
   }
 
+  // r9-find spirit (boundary semantics the fixture can never exercise):
+  // the stream_stream_join attribution band is CLOSED on both ends —
+  // `c_ts >= p_ts - 5 min` AND `c_ts <= p_ts` — and the oracle repeats
+  // the same inequalities, but fixture microsecond timestamps never land
+  // exactly ON either endpoint, so the hash gate has never actually
+  // distinguished closed from open. Force all four boundary cases, one
+  // microsecond apart, through a REAL two-stream watermarked inner join.
+  test("stream-stream interval join includes both band endpoints exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks    = MemoryStream[(Long, Timestamp)]
+    val p = purchases.toDF().toDF("p_id", "user_id", "p_ts")
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.toDF().toDF("c_user", "c_ts")
+      .withWatermark("c_ts", "1 hour")
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+      .select(col("p_id"), col("c_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      purchases.addData((1L, 7L, ts("2024-01-01 01:00:00")))
+      clicks.addData(
+        (7L, ts("2024-01-01 00:54:59.999999")), // 1 µs before band → OUT
+        (7L, ts("2024-01-01 00:55:00")),        // exactly p_ts − 5 min → IN
+        (7L, ts("2024-01-01 01:00:00")),        // exactly p_ts → IN
+        (7L, ts("2024-01-01 01:00:00.000001"))) // 1 µs after → OUT
+      q.processAllAvailable()
+      val got = spark.table("ssj_boundary")
+        .select(col("c_ts").cast("string")).collect().map(_.getString(0)).toSet
+      assert(got == Set("2024-01-01 00:55:00", "2024-01-01 01:00:00"),
+        s"interval-join band endpoints diverged from the closed-band oracle: $got")
+    } finally q.stop()
+  }
+
   // r8 ADVICE: a regeneration preserving row count + max ts but changing
   // row CONTENT must still change the fingerprint (xxhash64-XOR term),
   // and a mid-JVM regeneration must bust the per-dir cache (file-sig key).
