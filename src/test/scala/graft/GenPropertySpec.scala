@@ -469,4 +469,90 @@ class GenPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // join_theta_range's ±5 min band is bucketized (floor(us/band) ± 1
+  // neighbor explode, exact |Δ| ≤ band filter after). Two semantics the
+  // fixture's random microsecond timestamps essentially never probe:
+  // (1) the band is CLOSED — a pair exactly 300 s apart must join, one
+  // 300 s + 1 µs apart must not; (2) a pair straddling a bucket edge at
+  // full band width is only caught via the neighbor explode — an
+  // off-by-one there silently drops edge pairs. Force both, plus random
+  // pairs, and require equality with the unbucketed brute-force join.
+  test("theta-range bucket join equals brute force at exact band edges") {
+    import spark.implicits._
+    val bandUs = 300L * 1000000L
+    val pairGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      pUs <- Gen.chooseNum(bandUs * 3, bandUs * 40)
+      dUs <- Gen.chooseNum(-2 * bandUs, 2 * bandUs)
+    } yield (pUs, dUs))
+    forAll(pairGen) { rnd =>
+      // Forced cases (user, purchase us, error us):
+      val forced = List(
+        (100L, bandUs * 10, bandUs * 10 - bandUs),       // exactly −band → IN
+        (101L, bandUs * 10, bandUs * 10 - bandUs - 1),   // 1 µs beyond → OUT
+        (102L, bandUs * 10, bandUs * 10 + bandUs),       // exactly +band → IN
+        (103L, bandUs * 10, bandUs * 10 + bandUs + 1),   // 1 µs beyond → OUT
+        // Straddle: error 1 µs before a bucket edge, purchase exactly
+        // band later (lands 2 buckets… no: one bucket up) — the pair is
+        // only reachable through the ±1 neighbor explode.
+        (104L, bandUs * 11 - 1 + bandUs, bandUs * 11 - 1))
+      val rows = forced.zipWithIndex.flatMap { case ((u, p, e), i) =>
+        List((2000L + 2 * i, p, u, "purchase"), (2001L + 2 * i, e, u, "error"))
+      } ++ rnd.zipWithIndex.flatMap { case ((p, d), i) =>
+        val u = 200L + (i % 7)
+        List((4000L + 2 * i, p, u, "purchase"), (4001L + 2 * i, p + d, u, "error"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_theta_bnd").toString
+      rows.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("join_theta_range")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Brute force, no buckets: every (purchase, error) same-user pair
+      // with |Δus| ≤ band.
+      val ps = rows.filter(_._4 == "purchase").map(r => (r._3, r._2))
+      val es = rows.filter(_._4 == "error").map(r => (r._3, r._2))
+      val want = (for {
+        (u, p) <- ps; (ue, e) <- es
+        if u == ue && math.abs(p - e) <= bandUs
+      } yield u).groupBy(identity).map { case (u, l) => u -> l.size.toLong }
+      assert(got == want,
+        s"bucketized theta join diverged from brute force: got=$got want=$want")
+    }
+  }
+
+  // sample_hash_bernoulli keeps bucket < rate (STRICT: exactly `rate` of
+  // 100 buckets). The oracle runs the identical arithmetic, so an
+  // off-by-one (<=) would be invisible to the hash gate — pin the
+  // strictness against CPU-side reference arithmetic instead, over ids
+  // dense enough that both boundary buckets (rate−1 kept, rate dropped)
+  // occur for every language.
+  test("bernoulli bucket gate is strict at the rate boundary") {
+    import spark.implicits._
+    val P = 2147483647L
+    def bucket(id: Long): Long = (((id % P) * 1103515245L + 12345L) % P) % 100L
+    val langs = Array("en", "de", "fr")
+    def rate(l: String): Long = l match { case "en" => 10L; case "de" => 20L; case _ => 5L }
+    val docs = (0L until 1000L).map(i => (i, s"t$i", langs((i % 3).toInt), "src", 2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bern_bnd").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("sample_hash_bernoulli")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val want = docs.filter { case (id, _, l, _, _) => bucket(id) < rate(l) }
+      .map(_._1).toSet
+    assert(got == want, s"sample diverged from reference arithmetic: " +
+      s"extra=${got -- want} missing=${want -- got}")
+    // The assertion above only bites at the boundary if boundary buckets
+    // actually occur: require a doc AT the rate bucket (excluded) and at
+    // rate−1 (included) for each lang.
+    langs.foreach { l =>
+      val ids = docs.filter(_._3 == l).map(_._1)
+      assert(ids.exists(id => bucket(id) == rate(l)) &&
+        ids.exists(id => bucket(id) == rate(l) - 1),
+        s"boundary buckets unexercised for $l — enlarge the id range")
+    }
+  }
 }
