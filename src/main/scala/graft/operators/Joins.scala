@@ -282,8 +282,22 @@ object Joins extends QueryModule {
     * scales with the timeline, not clicks × purchases.
     */
   private[graft] def asofLatest(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.select(col("user_id"), col("ts"), lit(0).as("tag"),
-      lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    // NULL keys: an as-of join has JOIN semantics — a NULL user_id (or
+    // NULL ts) click matches NOTHING, because `c.user_id = p.user_id AND
+    // c.ts <= p.ts` is never true through a NULL. The window form would
+    // silently get this wrong: partitionBy groups all NULL user_ids into
+    // ONE partition, handing NULL-user purchases the NULL-user clicks'
+    // timestamps. The fixtures contain zero NULL user_ids so the oracle
+    // gate never saw it — found by the round-10 degenerate-events corpus
+    // (tools/degen_check.py), where the divergence reproduced 1:1.
+    // Dropping null-key/null-ts CLICKS restores join semantics: the NULL
+    // partition then holds no click rows, so NULL-key purchases keep
+    // their LEFT-JOIN row with a NULL as-of (and NULL-ts purchases sort
+    // NULLS FIRST, before every surviving click — also NULL).
+    val c = clicks
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
     val p = purchases.select(col("user_id"), col("ts"), lit(1).as("tag"),
       col("event_id"), lit(null).cast("timestamp").as("click_ts"))
     val w = org.apache.spark.sql.expressions.Window

@@ -369,11 +369,17 @@ class GenPropertySpec extends AnyFunSuite {
   // tiny ts range makes same-user same-second click/purchase pairs (and
   // duplicate clicks on one ts) common, and the result must equal the
   // brute-force latest-prior-or-equal click per purchase, null when none.
-  test("as-of join equals brute force under forced ts collisions") {
-    val evGen: Gen[List[(Long, Int, Boolean)]] =
+  // Forces ts collisions AND null keys/timestamps: an as-of join has JOIN
+  // semantics, so a NULL user_id or NULL ts on either side matches
+  // NOTHING (the fixtures have zero NULL user_ids — the round-10
+  // degenerate-events corpus caught the window form handing NULL-user
+  // purchases the NULL-user clicks' timestamps via partitionBy's
+  // NULLs-group-together rule).
+  test("as-of join equals brute force under forced ts collisions and null keys") {
+    val evGen: Gen[List[(Option[Long], Option[Int], Boolean)]] =
       Gen.nonEmptyListOf(for {
-        u <- Gen.chooseNum(0L, 3L)
-        t <- Gen.chooseNum(0, 8)
+        u <- Gen.frequency(4 -> Gen.chooseNum(0L, 3L).map(Some(_)), 1 -> Gen.const(None))
+        t <- Gen.frequency(6 -> Gen.chooseNum(0, 8).map(Some(_)), 1 -> Gen.const(None))
         p <- Gen.oneOf(true, false)
       } yield (u, t, p))
     forAll(evGen) { evs =>
@@ -388,7 +394,12 @@ class GenPropertySpec extends AnyFunSuite {
         .map(r => r.getLong(0) ->
           Option(r.getTimestamp(2)).map(_.toInstant.getEpochSecond)).toMap
       val want = rows.filter(_._4).map { case (id, u, t, _) =>
-        val prior = rows.collect { case (_, cu, ct, false) if cu == u && ct <= t => ct }
+        // NULL never matches: both the key equality and the ts comparison
+        // require defined values on BOTH sides.
+        val prior = rows.collect {
+          case (_, cu, Some(ct), false)
+            if cu.isDefined && cu == u && t.exists(ct <= _) => ct
+        }
         id -> (if (prior.isEmpty) None else Some(prior.max.toLong))
       }.toMap
       assert(got == want,

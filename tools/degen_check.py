@@ -15,8 +15,20 @@ selected key PASS (the remaining inventory reports "declared oracle but
 no Spark output" — an artifact of SPARK_GRAFT_KEYS filtering, not a
 failure of those keys).
 
+A second corpus does the same for the EVENTS family: NULL user_ids,
+exact-timestamp ties, zero-variance value groups, and degenerate props
+JSON (empty object, NULL, malformed, nested). This one found a real bug
+in round 10: asofLatest's window form handed NULL-user purchases the
+NULL-user clicks' timestamps (partitionBy groups NULLs; a join never
+matches them) — the fixtures have zero NULL user_ids, so the driver gate
+could not see it. fn_variant is deliberately NOT in the events key list:
+its oracle's vschema column is fixture-shaped ('OBJECT<k: BIGINT>'),
+which arbitrary JSON can't satisfy; its malformed-input TOLERANCE
+(try_parse_json) is covered by the fixture gate staying green.
+
 Usage: python3 tools/degen_check.py
 """
+import datetime as dt
 import os, subprocess, sys
 
 import pyarrow as pa
@@ -30,6 +42,18 @@ KEYS = ",".join([
     "dedup_keep_best", "dedup_ngram_jaccard", "dedup_ngram_capped",
     "dedup_near_minhash", "dedup_simhash", "dedup_cluster_cc",
     "dedup_decontaminate", "sample_stratified", "sample_hash_bernoulli",
+])
+
+EVENT_KEYS = ",".join([
+    "agg_daily_counts", "agg_range_total", "agg_distinct_users",
+    "agg_multi_distinct", "agg_funnel_steps", "agg_retention_cohort",
+    "agg_salted_skew", "agg_histogram", "agg_median", "agg_boolean",
+    "agg_argminmax", "agg_bitmap_distinct", "agg_approx_hll",
+    "agg_datasketch_hll", "agg_collect_ordered", "win_trailing_30d",
+    "win_running_total", "win_lag_lead", "join_anti_zerofill",
+    "join_asof_latest", "join_theta_range", "stream_tumbling_daily",
+    "stream_sliding_1h30m", "stream_session_5m", "filter_date_predicate",
+    "fn_time", "fn_json", "fn_null_semantics", "fn_conditional",
 ])
 
 ROWS = [
@@ -51,9 +75,7 @@ ROWS = [
 ]
 
 
-def main() -> None:
-    sfdir, outdir = "/tmp/degen_sf", "/tmp/vout_degen"
-    os.makedirs(sfdir, exist_ok=True)
+def write_documents(sfdir: str) -> None:
     t = pa.table({
         "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
         "text": pa.array([r[1] for r in ROWS], pa.string()),
@@ -62,23 +84,86 @@ def main() -> None:
         "n_chars": pa.array([len(r[1]) for r in ROWS], pa.int64()),
     })
     pq.write_table(t, f"{sfdir}/documents.parquet")
+
+
+def write_events(sfdir: str) -> None:
+    ts = dt.datetime.fromisoformat
+    rows, eid = [], 0
+
+    def add(t, u, et, v, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, ts(t), u, et, v, props))
+        eid += 1
+
+    # tie cluster: five types at the exact same microsecond, same user
+    for et in ["view", "click", "purchase", "error", "signup"]:
+        add("2024-01-10 12:00:00", 1, et, 10.0)
+    # as-of tie: click and purchase at identical ts
+    add("2024-01-11 08:00:00", 2, "click", 1.0)
+    add("2024-01-11 08:00:00", 2, "purchase", 2.0)
+    # NULL user_id rows of each type (incl. a click+purchase pair — the
+    # asofLatest NULL-partition trap)
+    for et in ["view", "click", "purchase", "error"]:
+        add("2024-01-12 06:30:00", None, et, 3.5)
+    # zero-variance group: every signup value constant
+    for d in range(5):
+        add(f"2024-01-{13 + d:02d} 09:15:00", 3, "signup", 5.0)
+    add("2024-01-20 23:59:59.999999", 4, "view", 0.0)   # lone event, day edge
+    add("2024-01-21 10:00:00", 5, "purchase", -7.25)
+    add("2024-01-21 10:00:00.000001", 5, "purchase", 123456.78)
+    # funnel chain with view/click at the same instant
+    add("2024-01-22 10:00:00", 6, "view", 1.0)
+    add("2024-01-22 10:00:00", 6, "click", 1.0)
+    add("2024-01-22 10:05:00", 6, "purchase", 1.0)
+    # props edges: empty object, NULL, malformed, nested
+    add("2024-01-23 11:00:00", 7, "view", 2.0, "{}")
+    add("2024-01-23 11:01:00", 7, "view", 2.0, None)
+    add("2024-01-23 11:02:00", 7, "view", 2.0, '{"k":')
+    add("2024-01-23 11:03:00", 7, "view", 2.0, '{"k": {"n": 9}}')
+    # background spread across the month for date-range keys
+    for d in range(1, 29, 3):
+        add(f"2024-01-{d:02d} 05:00:00", 8 + d % 3, "view", float(d))
+        add(f"2024-01-{d:02d} 17:45:00", 8 + (d + 1) % 3, "error", float(d) / 2)
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, f"{sfdir}/events.parquet")
+
+
+def run_family(label: str, sfdir: str, keys: str) -> bool:
+    outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
-    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=KEYS)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=keys)
     subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sfdir} {outdir}"],
                    env=env, check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     out = subprocess.run([sys.executable, "tools/check.py", sfdir, outdir],
                          capture_output=True, text=True).stdout
-    selected = set(KEYS.split(","))
+    selected = set(keys.split(","))
     n_pass = sum(1 for l in out.splitlines()
                  if l.startswith("PASS ") and l.split()[1].rstrip(":") in selected)
     fails = [l for l in out.splitlines()
              if l.startswith("FAIL ") and l.split()[1].rstrip(":") in selected]
-    print("\n".join(l for l in out.splitlines()
-                    if l.split(" ", 1)[-1].split(":")[0] in selected or
-                    l.startswith("==")))
-    print(f"[degen_check] {n_pass}/{len(selected)} selected keys pass")
-    sys.exit(1 if fails or n_pass != len(selected) else 0)
+    for l in out.splitlines():
+        if l.split(" ", 1)[-1].split(":")[0] in selected:
+            print(l)
+    print(f"[degen_check] {label}: {n_pass}/{len(selected)} selected keys pass")
+    return not fails and n_pass == len(selected)
+
+
+def main() -> None:
+    os.makedirs("/tmp/degen_sf", exist_ok=True)
+    os.makedirs("/tmp/degen_ev", exist_ok=True)
+    write_documents("/tmp/degen_sf")
+    write_events("/tmp/degen_ev")
+    ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
+    ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
+    sys.exit(0 if ok_docs and ok_ev else 1)
 
 
 if __name__ == "__main__":
