@@ -51,8 +51,16 @@ object Similarity extends QueryModule {
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  // nullif(denominator, 0): cosine with a ZERO vector is undefined, and
+  // the two engines disagree on bare 0/0 — Spark doubles give NaN (which
+  // then sorts ABOVE every real similarity in a desc top-k), DuckDB
+  // division by zero gives NULL. NULL is the correct SQL spelling of
+  // "undefined" and what the oracle produces naturally, so the Spark
+  // side guards the denominator; zero embeddings are a real 100 TB class
+  // (failed upstream encoders emit them) exercised by the degenerate
+  // embeddings corpus in tools/degen_check.py.
   private def cosine(a: String, b: String): String =
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), CAST(0 AS DOUBLE))"
 
   /** Same arithmetic via the codegen'd native expression (graft.functions
     * .DotF32) — used on the hot paths; `expr_cosine` keeps the pure-HOF
@@ -60,7 +68,7 @@ object Similarity extends QueryModule {
     */
   private def ndot(a: String, b: String): String = s"dot_f32($a, $b)"
   private def ncosine(a: String, b: String): String =
-    s"${ndot(a, b)} / (sqrt(${ndot(a, a)}) * sqrt(${ndot(b, b)}))"
+    s"${ndot(a, b)} / nullif(sqrt(${ndot(a, a)}) * sqrt(${ndot(b, b)}), CAST(0 AS DOUBLE))"
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
@@ -138,7 +146,7 @@ object Similarity extends QueryModule {
     val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
     val bestCells = cents.crossJoin(broadcast(probe))
       .select(col("cell"),
-        r6(expr(s"$dotPC / (sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC))")).as("ccos"))
+        r6(expr(s"$dotPC / nullif(sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC), CAST(0 AS DOUBLE))")).as("ccos"))
       .orderBy(desc("ccos"), col("cell"))
       .limit(nprobe)
     scored(probeScored(s, d)
@@ -252,7 +260,7 @@ object Similarity extends QueryModule {
       val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
-          r6(expr(s"$dotVC / (norm * sqrt($dotCC))")).as("ccos"))
+          r6(expr(s"$dotVC / nullif(norm * sqrt($dotCC), CAST(0 AS DOUBLE))")).as("ccos"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cell"))
       // Cached: both arms of the self-join below consume cellOf, and the
       // two aliased subtrees are NOT exchange-reused — without
@@ -268,7 +276,8 @@ object Similarity extends QueryModule {
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
           col("b.vec_id").as("nn_id"),
-          r6(expr(ndot("a.embedding", "b.embedding")) / (col("a.norm") * col("b.norm"))).as("cos"))
+          r6(expr(ndot("a.embedding", "b.embedding")) /
+            nullif(col("a.norm") * col("b.norm"), lit(0.0))).as("cos"))
       val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nn_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -317,6 +326,12 @@ object Similarity extends QueryModule {
     "multimodal_chunks" -> ((s, d) => {
       documents(s, d)
         .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("byte_len"))
+        // Empty payload → ZERO chunks. Without the filter, sequence(0, -1,
+        // 64) THROWS on Spark (illegal boundaries with a positive step) —
+        // one empty document killed the whole job in the degenerate-corpus
+        // run; the oracle's generate_series(0, -1, 64) is an empty series,
+        // so dropping the row is also the cross-engine-consistent shape.
+        .filter(col("byte_len") > 0)
         .select(col("doc_id"), col("byte_len"),
           explode(expr("sequence(0, byte_len - 1, 64)")).as("off"))
         .select(col("doc_id"), col("off"),
@@ -477,8 +492,8 @@ object Similarity extends QueryModule {
              CAST(list_sum(list_transform(string_split(text, ''),
                   c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
              lower(hex(substring(text, 1, 4))) AS head_hex,
-             array_to_string(list_transform(range(1, length(text) + 1, 16),
-                  i -> lower(hex(substring(text, CAST(i AS INT), 1)))), '') AS frame_sample,
+             coalesce(array_to_string(list_transform(range(1, length(text) + 1, 16),
+                  i -> lower(hex(substring(text, CAST(i AS INT), 1)))), ''), '') AS frame_sample,
              lower(hex(substring(text || '        ', 1, 8))) AS feat8
       FROM documents ORDER BY doc_id
     """

@@ -42,6 +42,20 @@ KEYS = ",".join([
     "dedup_keep_best", "dedup_ngram_jaccard", "dedup_ngram_capped",
     "dedup_near_minhash", "dedup_simhash", "dedup_cluster_cc",
     "dedup_decontaminate", "sample_stratified", "sample_hash_bernoulli",
+    "multimodal_chunks", "multimodal_binary",
+])
+
+# Similarity/ANN family over a degenerate embeddings corpus: a ZERO
+# vector (cosine undefined — the engines disagreed on bare 0/0 until the
+# nullif guards: Spark NaN, DuckDB NULL), exact duplicates, an exact
+# negation (cos −1), scaled copies (cos 1). Runs in a dir holding BOTH
+# documents and embeddings so multimodal_join's two-table shape is
+# covered.
+EMB_KEYS = ",".join([
+    "sim_topk_neighbors", "expr_cosine", "sim_ann_lsh",
+    "sim_ann_multiprobe", "sim_ivf_topk", "sim_ivf_nprobe2",
+    "sim_range_search", "dedup_embed_cosine", "udaf_vector_avg",
+    "multimodal_join",
 ])
 
 EVENT_KEYS = ",".join([
@@ -135,6 +149,29 @@ def write_events(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/events.parquet")
 
 
+def write_embeddings(sfdir: str) -> None:
+    def vec(seed: int):
+        # deterministic pseudo-random floats, exactly representable in f32
+        return [((seed * 37 + i * 13) % 19 - 9) / 8.0 for i in range(64)]
+
+    probe = vec(1)
+    vecs = [
+        (0, probe, 0),                       # the probe every sim key uses
+        (1, probe, 1),                       # exact duplicate of the probe
+        (2, [2 * x for x in probe], 2),      # scaled copy: cos = 1
+        (3, [0.0] * 64, 0),                  # ZERO vector: cosine undefined
+        (4, [-x for x in probe], 1),         # exact negation: cos = -1
+        (15, vec(5), 2),                     # exact duplicate of vec 5
+    ] + [(i, vec(i), i % 5) for i in range(5, 15)]
+    vecs.sort()
+    t = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[2] for v in vecs], pa.int32()),
+    })
+    pq.write_table(t, f"{sfdir}/embeddings.parquet")
+
+
 def run_family(label: str, sfdir: str, keys: str) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
@@ -157,13 +194,16 @@ def run_family(label: str, sfdir: str, keys: str) -> bool:
 
 
 def main() -> None:
-    os.makedirs("/tmp/degen_sf", exist_ok=True)
-    os.makedirs("/tmp/degen_ev", exist_ok=True)
+    for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb"):
+        os.makedirs(d, exist_ok=True)
     write_documents("/tmp/degen_sf")
     write_events("/tmp/degen_ev")
+    write_documents("/tmp/degen_emb")
+    write_embeddings("/tmp/degen_emb")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
-    sys.exit(0 if ok_docs and ok_ev else 1)
+    ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
+    sys.exit(0 if ok_docs and ok_ev and ok_emb else 1)
 
 
 if __name__ == "__main__":
