@@ -109,10 +109,16 @@ object Functions extends QueryModule {
     // compiles Java regex, DuckDB RE2; fancy syntax (lookahead, \b)
     // diverges. Backreference dialect differs ($1 vs \1) but semantics
     // are identical, handled on each side's SQL.
+    // try_cast on the extracted digits: regexp_extract returns '' when
+    // the pattern does NOT match, and ANSI CAST('' AS INT) throws in BOTH
+    // engines — one digitless brand string kills the whole job (found by
+    // the degenerate part corpus, tools/degen_check.py). try_cast makes
+    // no-match NULL on both sides; fixture parity unchanged (every
+    // fixture brand contains digits).
     "fn_regexp" -> ((s, d) => {
       part(s, d).select(
         col("p_partkey"),
-        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+        expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)").as("brand_num"),
         expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
         col("p_name").rlike("^[a-f]").as("starts_af"),
         regexp_replace(col("p_name"), "^([a-z]+) ([a-z]+)$", "$2 $1").as("swapped"),
@@ -442,7 +448,7 @@ object Functions extends QueryModule {
 
     "fn_regexp" -> """
       SELECT p_partkey,
-             CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+             TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
              CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
              regexp_matches(p_name, '^[a-f]') AS starts_af,
              regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '\2 \1') AS swapped,

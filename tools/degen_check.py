@@ -58,6 +58,15 @@ EMB_KEYS = ",".join([
     "multimodal_join",
 ])
 
+# String-function family over a degenerate part table: empty strings,
+# whitespace-only, no-regexp-match names, multi-space type strings —
+# split_part/levenshtein/regexp/no-match extraction edges the generated
+# TPC-H-ish strings never produce.
+PART_KEYS = ",".join([
+    "fn_string", "fn_regexp", "fn_encode", "fn_url", "fn_collation",
+    "win_rank_topk",
+])
+
 EVENT_KEYS = ",".join([
     "agg_daily_counts", "agg_range_total", "agg_distinct_users",
     "agg_multi_distinct", "agg_funnel_steps", "agg_retention_cohort",
@@ -172,6 +181,30 @@ def write_embeddings(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/embeddings.parquet")
 
 
+def write_part(sfdir: str) -> None:
+    rows = [
+        (1, "", "", "", 0, 0.0),                         # all-empty strings
+        (2, " ", "Brand#1", " ", 1, 1.0),                # whitespace-only
+        (3, "a", "Brand#12", "x", 2, 2.0),               # 1-char name/type
+        (4, "NOVOWELS", "Brand#23", "TYPE ONLY", 3, 3.0),  # no lowercase match
+        (5, "two words", "Brand#2", "a  b", 4, 4.0),     # double space in type
+        (6, "ends space ", "Brand#3", "t t t", 5, 5.0),  # trailing space
+        (7, " starts", "no-hash-brand", "u", 6, 6.0),    # brand without '#'
+        (8, "tie name", "Brand#12", "v w", 7, 9.0),      # retailprice tie ...
+        (9, "tie name", "Brand#12", "v w", 8, 9.0),      # ... same brand
+        (10, "chartreuse lemon powder puff", "Brand#23", "MEDIUM POLISHED", 9, 10.0),
+    ]
+    t = pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "p_name": pa.array([r[1] for r in rows], pa.string()),
+        "p_brand": pa.array([r[2] for r in rows], pa.string()),
+        "p_type": pa.array([r[3] for r in rows], pa.string()),
+        "p_size": pa.array([r[4] for r in rows], pa.int32()),
+        "p_retailprice": pa.array([r[5] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, f"{sfdir}/part.parquet")
+
+
 def run_family(label: str, sfdir: str, keys: str) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
@@ -194,16 +227,19 @@ def run_family(label: str, sfdir: str, keys: str) -> bool:
 
 
 def main() -> None:
-    for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb"):
+    for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb",
+              "/tmp/degen_part"):
         os.makedirs(d, exist_ok=True)
     write_documents("/tmp/degen_sf")
     write_events("/tmp/degen_ev")
     write_documents("/tmp/degen_emb")
     write_embeddings("/tmp/degen_emb")
+    write_part("/tmp/degen_part")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
-    sys.exit(0 if ok_docs and ok_ev and ok_emb else 1)
+    ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
+    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part else 1)
 
 
 if __name__ == "__main__":
