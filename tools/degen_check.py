@@ -77,6 +77,7 @@ EVENT_KEYS = ",".join([
     "join_asof_latest", "join_theta_range", "stream_tumbling_daily",
     "stream_sliding_1h30m", "stream_session_5m", "filter_date_predicate",
     "fn_time", "fn_json", "fn_null_semantics", "fn_conditional",
+    "scan_partition_pruned", "scan_dpp", "win_range_numeric",
 ])
 
 ROWS = [
