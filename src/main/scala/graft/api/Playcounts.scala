@@ -30,11 +30,18 @@ import org.apache.spark.sql.functions._
   */
 final class Playcounts(counts: DataFrame) {
 
-  /** Single (file, date) point lookup — MySQL PK lookup analog. */
+  /** Single (file, date) point lookup — MySQL PK lookup analog. A (file,
+    * date) with no stored row answers count 0, not an empty result: the
+    * reference's API returns a zero count for dates with no plays (the
+    * same zero-fill contract as `join_anti_zerofill`), and the
+    * pipeline_daily_e2e oracle (a COUNT(*) over the raw events) produces
+    * a 0-row for such dates — found diverging on the round-10
+    * degenerate-universe corpus where a queried date had no events.
+    */
   def dateCount(file: String, date: java.sql.Date): DataFrame =
     counts.filter(col("file") === file && col("date") === date)
-      .groupBy(col("file"), col("date"))
-      .agg(sum(col("count")).as("count"))
+      .agg(coalesce(sum(col("count")), lit(0L)).as("count"))
+      .select(lit(file).as("file"), lit(date).as("date"), col("count"))
 
   /** Range query: grand total + date-sorted per-day details — the
     * `{filename, total, details:[{date,count}…]}` API response shape.

@@ -285,10 +285,10 @@ object Functions extends QueryModule {
       part(s, d).createOrReplaceTempView("part_try")
       s.sql("""
         SELECT p_partkey,
-               round(try_divide(p_retailprice, p_size - 25), 6) AS div_maybe,
+               round(try_divide(p_retailprice, p_size - 25), 6) + 0.0 AS div_maybe,
                try_add(9223372036854775807, p_partkey) AS add_ovf,
                try_cast(p_brand AS INT) AS bad_cast,
-               try_element_at(array(1, 2), CAST(p_size AS INT)) AS elem,
+               try_element_at(array(1, 2), CAST(nullif(p_size, 0) AS INT)) AS elem,
                try_to_timestamp(p_brand, 'yyyy-MM-dd') AS bad_ts
         FROM part_try
       """)
@@ -334,9 +334,9 @@ object Functions extends QueryModule {
       events(s, d).select(col("event_id"), col("props"))
         .selectExpr(
           "event_id",
-          "variant_get(try_parse_json(props), '$.k', 'int') AS k_var",
-          "variant_get(try_parse_json(props), '$.missing', 'string') AS missing",
-          "variant_get(try_parse_json(props), '$.k', 'int') > 50 AS k_gt50",
+          "try_variant_get(try_parse_json(props), '$.k', 'int') AS k_var",
+          "try_variant_get(try_parse_json(props), '$.missing', 'string') AS missing",
+          "try_variant_get(try_parse_json(props), '$.k', 'int') > 50 AS k_gt50",
           "schema_of_variant(try_parse_json(props)) AS vschema",
           "to_json(try_parse_json(props)) AS canonical")
     }),
@@ -420,7 +420,8 @@ object Functions extends QueryModule {
              round(l_extendedprice, 1) AS price_r1,
              round(abs(l_discount - 0.05), 6) AS disc_dev,
              round(sqrt(l_quantity), 6) AS qty_sqrt,
-             round(ln(l_extendedprice), 6) AS price_ln,
+             round(CASE WHEN l_extendedprice > 0
+                   THEN ln(l_extendedprice) END, 6) AS price_ln,
              CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
              CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
              l_orderkey % 7 AS key_mod7,
@@ -441,7 +442,8 @@ object Functions extends QueryModule {
              CAST(len(list_intersect(a, b)) AS INT) AS n_intersect,
              CAST(len(list_filter(list_distinct(a),
                     x -> NOT list_contains(b, x))) AS INT) AS n_except,
-             array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_str,
+             coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+               AS inter_str,
              CAST(pos_the AS BIGINT) AS pos_the
       FROM ab ORDER BY doc_id
     """,
@@ -554,7 +556,7 @@ object Functions extends QueryModule {
 
     "fn_try_ansi" -> """
       SELECT p_partkey,
-             round(CASE WHEN p_size <> 25 THEN p_retailprice / (p_size - 25) END, 6) AS div_maybe,
+             round(CASE WHEN p_size <> 25 THEN p_retailprice / (p_size - 25) END, 6) + 0.0 AS div_maybe,
              CAST(CASE WHEN p_partkey = 0 THEN 9223372036854775807 END AS BIGINT) AS add_ovf,
              TRY_CAST(p_brand AS INT) AS bad_cast,
              CAST(CASE WHEN p_size IN (1, 2) THEN p_size END AS INT) AS elem,

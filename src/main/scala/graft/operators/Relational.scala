@@ -46,9 +46,16 @@ object Relational extends QueryModule {
     val a3 = s"(CAST(s3_$x AS DOUBLE)/n)"
     val a4 = s"(CAST(s4_$x AS DOUBLE)/n)"
     val m2 = s"($a2 - $m*$m)"
+    // nullif(denominator, 0): skewness/kurtosis of a ZERO-VARIANCE group
+    // (constant column, or a singleton) is undefined — bare division
+    // throws DIVIDE_BY_ZERO on ANSI Spark and yields NULL in DuckDB
+    // (degenerate-universe find, round 10). The shared text makes the
+    // undefined case NULL in BOTH engines, matching the builtins'
+    // skewness()/kurtosis() NULL contract; kurtosis stays NULL (not −3)
+    // because NULL − 3 is NULL.
     Seq(
-      s"($a3 - 3*$m*$a2 + 2*$m*$m*$m) / (sqrt($m2)*$m2)" -> s"skew_$out",
-      s"($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / ($m2*$m2) - 3" -> s"kurt_$out")
+      s"($a3 - 3*$m*$a2 + 2*$m*$m*$m) / nullif(sqrt($m2)*$m2, 0)" -> s"skew_$out",
+      s"($a4 - 4*$m*$a3 + 6*$m*$m*$a2 - 3*$m*$m*$m*$m) / nullif($m2*$m2, 0) - 3" -> s"kurt_$out")
   }
 
   /** agg_corr_stats (exprText, alias) pairs over its integer moment sums,
@@ -62,7 +69,9 @@ object Relational extends QueryModule {
     Seq(
       s"sqrt($varQ)" -> "sd_qty",
       varQ -> "var_qty",
-      s"(${m("qp")} - ${m("q")}*${m("pc")}) / (sqrt($varQ)*sqrt($varPc))" -> "corr_qty_price",
+      // nullif: correlation with a zero-variance side is undefined → NULL
+      // in both engines (same ANSI-divide find as momentStats).
+      s"(${m("qp")} - ${m("q")}*${m("pc")}) / nullif(sqrt($varQ)*sqrt($varPc), 0)" -> "corr_qty_price",
       s"(${m("dt")} - ${m("dc")}*${m("tc")}) / 10000.0" -> "cov_disc_tax")
   }
 
@@ -895,10 +904,15 @@ object Relational extends QueryModule {
           expr("percentile(l_quantity, array(0.49D, 0.51D))").as("bq"),
           expr("percentile(l_extendedprice, array(0.98D, 0.995D))").as("bp"))
         .select(col("l_returnflag"), col("n"),
-          (col("aq50") >= element_at(col("bq"), 1)
-            && col("aq50") <= element_at(col("bq"), 2)).as("q50_in_rank_tol"),
-          (col("aq99") >= element_at(col("bp"), 1)
-            && col("aq99") <= element_at(col("bp"), 2)).as("q99_in_rank_tol"))
+          // `n < 52 ||`: the interpolated rank-±1% bracket is only a
+          // sound bound for n ≥ 52 (see the derivation above) — on
+          // smaller groups the verdict claims nothing rather than
+          // asserting an unsound bound (degenerate-universe corpus:
+          // 3-row groups legitimately landed outside the bracket).
+          (col("n") < 52 || (col("aq50") >= element_at(col("bq"), 1)
+            && col("aq50") <= element_at(col("bq"), 2))).as("q50_in_rank_tol"),
+          (col("n") < 52 || (col("aq99") >= element_at(col("bp"), 1)
+            && col("aq99") <= element_at(col("bp"), 2))).as("q99_in_rank_tol"))
     }),
 
     "agg_rollup" -> ((s, d) => {

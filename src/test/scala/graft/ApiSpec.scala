@@ -61,7 +61,11 @@ class ApiSpec extends AnyFunSuite {
     val pc = new api.Playcounts(counts)
     val r = pc.dateCount("Song.ogg", day1).collect()
     assert(r.length == 1 && r(0).getLong(2) == 7L)
-    assert(pc.dateCount("Song.ogg", day2).isEmpty)
+    // A date with no plays answers a ZERO count row, not an empty result
+    // (the reference API's zero-fill contract).
+    val zero = pc.dateCount("Song.ogg", day2).collect()
+    assert(zero.length == 1 && zero(0).getLong(2) == 0L,
+      s"missing date should zero-fill, got ${zero.toSeq}")
   }
 
   test("dateRangeCount returns total plus date-sorted details") {

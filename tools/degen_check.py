@@ -206,16 +206,116 @@ def write_part(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/part.parquet")
 
 
-def run_family(label: str, sfdir: str, keys: str) -> bool:
+def write_tpch(sfdir: str) -> None:
+    """Degenerate TPC-H-ish tables: broken foreign keys (orphan lineitems,
+    customers of a nonexistent nation), empty-string dimension names,
+    childless parents (region without nations, customer without orders,
+    order without lineitems), exact ties on every ranking column, and
+    boundary quantities/discounts (0, 1). Dates span the TPC-H filter
+    ranges so the fixed-predicate SQL keys see non-empty input."""
+    ts = dt.datetime.fromisoformat
+
+    def tbl(path, cols):
+        pq.write_table(pa.table(cols), path)
+
+    tbl(f"{sfdir}/region.parquet", {
+        "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+        "r_name": pa.array(["AMERICA", "", "EMPTYREGION"], pa.string()),
+    })
+    # region 2 has no nations; nation 3 points at a nonexistent region 9
+    tbl(f"{sfdir}/nation.parquet", {
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "n_name": pa.array(["BRAZIL", "", "GERMANY", "ORPHANIA"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 9], pa.int32()),
+    })
+    tbl(f"{sfdir}/customer.parquet", {
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": pa.array(["c one", "", "c three", "c four", "c five"], pa.string()),
+        "c_nationkey": pa.array([0, 1, 2, 8, 0], pa.int32()),  # 8: broken FK
+        "c_acctbal": pa.array([100.0, 100.0, -5.0, 0.0, 9999.99], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING", "", "AUTOMOBILE",
+                                  "BUILDING"], pa.string()),
+    })
+    tbl(f"{sfdir}/supplier.parquet", {
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s one", "", "s three"], pa.string()),
+        "s_nationkey": pa.array([0, 2, 7], pa.int32()),  # 7: broken FK
+        "s_acctbal": pa.array([0.0, -1.0, 50.0], pa.float64()),
+    })
+    # customer 4 has no orders; order 100 belongs to nonexistent customer 99;
+    # orders 10/11 share a date and a price (ties)
+    okeys = [1, 2, 3, 10, 11, 100]
+    tbl(f"{sfdir}/orders.parquet", {
+        "o_orderkey": pa.array(okeys, pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 5, 99], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", "F", "F", "P"], pa.string()),
+        "o_totalprice": pa.array([10.0, 20.0, 20.0, 7.5, 7.5, 0.0], pa.float64()),
+        "o_orderdate": pa.array([ts("1995-03-10"), ts("1995-03-10"),
+                                 ts("1994-01-01"), ts("1996-07-04"),
+                                 ts("1996-07-04"), ts("1993-02-28")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "", "5-LOW",
+                                     "3-MEDIUM", "2-HIGH"], pa.string()),
+    })
+    # order 3 has no lineitems; lineitem with l_orderkey 999 is an orphan;
+    # quantities/discounts at boundaries (0 qty, 0 and 1 discount)
+    li = [
+        # (okey, pkey, skey, ln, qty, price, disc, tax, rf, ls, ship)
+        (1, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", "1995-03-20"),
+        (1, 3, 1, 2, 10.0, 100.0, 1.0, 0.1, "N", "O", "1995-03-21"),
+        (2, 4, 2, 1, 5.0, 50.0, 0.05, 0.0, "R", "F", "1994-02-02"),
+        (2, 4, 2, 2, 5.0, 50.0, 0.05, 0.0, "R", "F", "1994-02-02"),  # exact dup line
+        (10, 5, 3, 1, 30.0, 300.0, 0.1, 0.08, "A", "F", "1996-07-10"),
+        (11, 8, 1, 1, 30.0, 300.0, 0.1, 0.08, "A", "F", "1996-07-10"),  # tie twin
+        (100, 9, 2, 1, 2.0, 9.0, 0.02, 0.0, "N", "F", "1993-03-01"),
+        (999, 10, 9, 1, 7.0, 70.0, 0.07, 0.01, "R", "O", "1997-01-15"),  # orphan
+    ]
+    tbl(f"{sfdir}/lineitem.parquet", {
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+        "l_discount": pa.array([r[6] for r in li], pa.float64()),
+        "l_tax": pa.array([r[7] for r in li], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+        "l_shipdate": pa.array([ts(r[10]) for r in li], pa.timestamp("us")),
+    })
+
+
+# Universe-mode exclusions, with the reason each is NOT a latent bug.
+UNIVERSE_EXCLUDE = {
+    # vschema hardcodes the fixture corpus's 'OBJECT<k: BIGINT>' — a
+    # DuckDB re-derivation of Spark's schema_of_variant string for
+    # arbitrary JSON isn't expressible; the key's malformed-input
+    # TOLERANCE (try_parse_json / try_variant_get) IS exercised here and
+    # on the fixture gate.
+    "fn_variant": "oracle vschema is fixture-shaped by design",
+}
+
+
+def run_family(label: str, sfdir: str, keys: str | None) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
-    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=keys)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+    if keys:
+        env["SPARK_GRAFT_KEYS"] = keys
     subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sfdir} {outdir}"],
                    env=env, check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     out = subprocess.run([sys.executable, "tools/check.py", sfdir, outdir],
                          capture_output=True, text=True).stdout
-    selected = set(keys.split(","))
+    selected = (set(keys.split(",")) if keys else
+                {l.split()[1].rstrip(":") for l in out.splitlines()
+                 if l.split()[:1] and l.split()[0] in
+                 ("PASS", "FAIL", "ROWS-ONLY", "ROWS-ONLY-EMPTY?")})
+    if not keys:
+        for k, why in UNIVERSE_EXCLUDE.items():
+            if k in selected:
+                selected.discard(k)
+                print(f"[degen_check] excluded {k}: {why}")
     n_pass = sum(1 for l in out.splitlines()
                  if l.startswith("PASS ") and l.split()[1].rstrip(":") in selected)
     fails = [l for l in out.splitlines()
@@ -228,6 +328,18 @@ def run_family(label: str, sfdir: str, keys: str) -> bool:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "universe":
+        # Whole-inventory mode: every table in ONE adversarial dir, every
+        # key (incl. the checkpointed streaming family, which stages its
+        # arrival files from the degenerate events) against its oracle.
+        d = "/tmp/degen_all"
+        os.makedirs(d, exist_ok=True)
+        write_documents(d)
+        write_embeddings(d)
+        write_part(d)
+        write_events(d)
+        write_tpch(d)
+        sys.exit(0 if run_family("all", d, None) else 1)
     for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb",
               "/tmp/degen_part"):
         os.makedirs(d, exist_ok=True)
