@@ -27,6 +27,26 @@ object Relational extends QueryModule {
     * double out — DECIMAL(38,0) gave the same guarantees at ~3× the cost
     * (per-row BigDecimal off the long-backed fast path).
     */
+  /** Day-partitioned at-rest copy of events, staged once per fixture into
+    * /tmp behind the SAME fingerprint-guarded marker as the streaming
+    * arrival dirs (Streaming.ensureStaged). The original guard here was a
+    * name-only `_SUCCESS` existence check — the exact silent-stale-data
+    * class the r7 streaming marker rewrite eliminated, but these two
+    * batch sites never migrated: the round-10 NULL-injection universe
+    * caught scan_dpp serving the PRE-rewrite fixture. `_STAGED` at the
+    * dir root is underscore-prefixed, so the parquet file index ignores
+    * it like `_SUCCESS`.
+    */
+  private def eventsByDay(s: SparkSession, d: String): String = {
+    val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_events_by_day_$tag"
+    Streaming.ensureStaged(s, d, path) {
+      events(s, d).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
+    path
+  }
+
   private def powerSums(x: String) = Seq(
     expr(s"sum_i128($x)").as(s"s1_$x"),
     expr(s"sum_i128($x*$x)").as(s"s2_$x"),
@@ -605,8 +625,16 @@ object Relational extends QueryModule {
       events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          expr("max_by(event_id, struct(value, event_id))").as("max_value_event"),
-          expr("min_by(event_id, struct(value, event_id))").as("min_value_event"),
+          // CASE-wrapped ordering key: a NULL value must not be an
+          // extremum candidate (arg_min/arg_max contract) — the bare
+          // struct made NULL sort FIRST in Spark's struct order, handing
+          // min_by the NULL-value row, while the oracle's NULLS-LAST
+          // window skipped it (NULL-injection universe find). max_by/
+          // min_by ignore rows whose ordering key is NULL, so the CASE
+          // excludes them on the Spark side; the oracle pins NULLS LAST
+          // + an IS NOT NULL guard for the same semantics.
+          expr("max_by(event_id, CASE WHEN value IS NOT NULL THEN struct(value, event_id) END)").as("max_value_event"),
+          expr("min_by(event_id, CASE WHEN value IS NOT NULL THEN struct(value, event_id) END)").as("min_value_event"),
           r6(max(col("value"))).as("max_value"),
           r6(min(col("value"))).as("min_value"))
     }),
@@ -1019,12 +1047,7 @@ object Relational extends QueryModule {
     // listed, let alone read. The partitioned copy is written once per sf
     // into /tmp and reused; the oracle aggregates the raw table.
     "scan_partition_pruned" -> ((s, d) => {
-      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_events_by_day_$tag"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        events(s, d).withColumn("day", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
-      s.read.parquet(path)
+      s.read.parquet(eventsByDay(s, d))
         .filter(col("day").between(lit(java.sql.Date.valueOf("2024-01-05")),
           lit(java.sql.Date.valueOf("2024-01-09"))))
         .groupBy(col("day"), col("event_type"))
@@ -1041,11 +1064,7 @@ object Relational extends QueryModule {
     // read. reuseBroadcastOnly (default) makes the pruning subquery free:
     // it reuses the join's own broadcast.
     "scan_dpp" -> ((s, d) => {
-      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_events_by_day_$tag"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        events(s, d).withColumn("day", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
+      val path = eventsByDay(s, d)
       val dim = events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_day"))
@@ -1287,13 +1306,13 @@ object Relational extends QueryModule {
       WITH r AS (
         SELECT event_type, event_id, value,
                row_number() OVER (PARTITION BY event_type
-                 ORDER BY value DESC, event_id DESC) AS rmax,
+                 ORDER BY value DESC NULLS LAST, event_id DESC) AS rmax,
                row_number() OVER (PARTITION BY event_type
-                 ORDER BY value ASC, event_id ASC) AS rmin
+                 ORDER BY value ASC NULLS LAST, event_id ASC) AS rmin
         FROM events)
       SELECT event_type,
-             max(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
-             max(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+             max(CASE WHEN rmax = 1 AND value IS NOT NULL THEN event_id END) AS max_value_event,
+             max(CASE WHEN rmin = 1 AND value IS NOT NULL THEN event_id END) AS min_value_event,
              round(max(value), 6) AS max_value,
              round(min(value), 6) AS min_value
       FROM r GROUP BY event_type ORDER BY event_type

@@ -453,7 +453,12 @@ object Streaming extends QueryModule {
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
           .select(col("event_type"),
-            round(col("value") * 100).cast("long").as("cents"))
+            // coalesce: a NULL value row must still COUNT while adding 0
+            // cents — exactly what the batch oracle's sum-skips-NULLs +
+            // count(*) computes. The bare cast NPE'd the typed encoder
+            // (NOT_NULL_ASSERT_VIOLATION on Tuple2._2) — one NULL row
+            // killed the stream (NULL-injection universe find).
+            coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
           .as[(String, Long)]
           .groupByKey(_._1)
           .transformWithState(new Totals, TimeMode.None(), OutputMode.Update())

@@ -296,6 +296,40 @@ UNIVERSE_EXCLUDE = {
 }
 
 
+def inject_nulls(sfdir: str) -> None:
+    """Second-stage adversary: rewrite the universe's TPC-H tables with
+    NULLs in nullable-looking columns (quantities, prices, balances,
+    dates, segments) plus one NULL-value event. NULL ordering is where
+    the engines' DEFAULTS genuinely differ (Spark ASC = NULLS FIRST,
+    DuckDB = NULLS LAST; windows likewise), so any key whose result
+    depends on sort order over these columns must pin NULL placement
+    explicitly on the oracle side. events.ts stays non-NULL: the
+    streaming keys' watermark staging is not defined over NULL event
+    time (a real pipeline filters those at ingest)."""
+    import pyarrow.compute as pc
+
+    def mask(path, col, idx):
+        t = pq.read_table(path)
+        arr = t[col].to_pylist()
+        for i in idx:
+            arr[i % len(arr)] = None
+        t = t.set_column(t.schema.get_field_index(col),
+                         pa.field(col, t.schema.field(col).type),
+                         pa.array(arr, t.schema.field(col).type))
+        pq.write_table(t, path)
+
+    mask(f"{sfdir}/lineitem.parquet", "l_quantity", [2])
+    mask(f"{sfdir}/lineitem.parquet", "l_discount", [4])
+    mask(f"{sfdir}/lineitem.parquet", "l_shipdate", [6])
+    mask(f"{sfdir}/orders.parquet", "o_totalprice", [1])
+    mask(f"{sfdir}/orders.parquet", "o_orderdate", [5])
+    mask(f"{sfdir}/customer.parquet", "c_acctbal", [2])
+    mask(f"{sfdir}/customer.parquet", "c_mktsegment", [3])
+    mask(f"{sfdir}/supplier.parquet", "s_acctbal", [1])
+    mask(f"{sfdir}/events.parquet", "value", [20])
+    mask(f"{sfdir}/part.parquet", "p_retailprice", [5])
+
+
 def run_family(label: str, sfdir: str, keys: str | None) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
@@ -339,6 +373,8 @@ def main() -> None:
         write_part(d)
         write_events(d)
         write_tpch(d)
+        if len(sys.argv) > 2 and sys.argv[2] == "nulls":
+            inject_nulls(d)
         sys.exit(0 if run_family("all", d, None) else 1)
     for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb",
               "/tmp/degen_part"):
