@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object T {
 
+  /** Left-to-right `(a*mult + codePoint) % p` fold over the string's
+    * UNICODE CODE POINTS — the Scala twin of the oracle fragment
+    * `list_reduce(string_split(s,'') → ascii(c))`, which iterates code
+    * points (DuckDB chars ARE code points; Spark's split('')/ascii
+    * likewise — verified empirically on BMP and astral input). A plain
+    * `foldLeft` over a Scala String iterates UTF-16 CODE UNITS, which
+    * diverges on astral characters (surrogate pairs fold as two values)
+    * — found by the round-10 unicode corpus. ASCII results are
+    * bit-identical to the old fold (code point == code unit there).
+    */
+  private[graft] def cpFold(s: String, mult: Long, p: Long): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * mult + cp) % p
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
   /** All fixture tables, for view registration / docs. */
   val tables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

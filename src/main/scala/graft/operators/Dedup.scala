@@ -71,8 +71,10 @@ object Dedup extends QueryModule {
   //   consumer, recomputing the whole array per shingle access (observed
   //   8× blowup). mapPartitions output is a real attribute — a hard
   //   barrier the optimizer cannot inline through.
-  // The arithmetic is identical to the DuckDB fragments above (ASCII
-  // fixtures ⇒ char code == ascii()); oracle parity is exact.
+  // The arithmetic is identical to the DuckDB fragments above for ALL of
+  // unicode: T.cpFold iterates code points exactly as the fragments'
+  // string_split(s,'') + ascii(c) does (round 10 — previously a UTF-16
+  // unit fold, exact only on the BMP); oracle parity is exact.
 
   /** (doc_id, token codes, distinct 3-gram shingle codes). No
     * layout-decoupling repartition before the fold, by measurement: on
@@ -87,7 +89,7 @@ object Dedup extends QueryModule {
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.split(" ", -1) // -1: keep trailing empties (Spark/DuckDB split semantics)
-        val tc = toks.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+        val tc = toks.map(T.cpFold(_, 31, P))
         val n = tc.length
         val sh = if (n >= 3) {
           val arr = new Array[Long](n - 2)
@@ -114,8 +116,8 @@ object Dedup extends QueryModule {
       .mapPartitions(_.map { case (id, text) =>
         val votes = new Array[Int](62)
         text.split(" ", -1).foreach { t =>
-          val ca = t.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % P)
-          val cb = t.foldLeft(0L)((a, ch) => (a * 37 + ch.toLong) % P)
+          val ca = T.cpFold(t, 31, P)
+          val cb = T.cpFold(t, 37, P)
           var b = 0
           while (b < 31) {
             if (((ca >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

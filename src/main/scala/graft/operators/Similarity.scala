@@ -479,23 +479,38 @@ object Similarity extends QueryModule {
 
     "multimodal_chunks" -> """
       SELECT doc_id, CAST(off AS INT) AS off,
-             CAST(least(64, length(text) - off) AS INT) AS chunk_len
+             CAST(least(64, octet_length(encode(text)) - off) AS INT) AS chunk_len
       FROM (SELECT doc_id, text,
-                   unnest(generate_series(0, length(text) - 1, 64)) AS off
+                   unnest(generate_series(0, octet_length(encode(text)) - 1, 64)) AS off
             FROM documents)
       ORDER BY doc_id, off
     """,
 
+    // True BYTE arithmetic (round 10): the Spark side decodes UTF-8
+    // BYTES, and the old per-character ascii() oracle matched only on
+    // ASCII (é is two bytes but one code point). DuckDB has no BLOB
+    // substring, so every per-byte op runs over the lowercase hex
+    // encoding of the UTF-8 payload: byte i = nibble arithmetic on hex
+    // chars 2i−1, 2i; frame k = the hex pair at offset 32k+1; feat8 =
+    // first 16 hex chars of payload ++ eight 0x20 pad bytes.
     "multimodal_binary" -> """
+      WITH b AS (
+        SELECT doc_id,
+               lower(hex(encode(text))) AS h,
+               octet_length(encode(text)) AS olen
+        FROM documents)
       SELECT doc_id,
-             CAST(length(text) AS INT) AS byte_len,
-             CAST(list_sum(list_transform(string_split(text, ''),
-                  c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
-             lower(hex(substring(text, 1, 4))) AS head_hex,
-             coalesce(array_to_string(list_transform(range(1, length(text) + 1, 16),
-                  i -> lower(hex(substring(text, CAST(i AS INT), 1)))), ''), '') AS frame_sample,
-             lower(hex(substring(text || '        ', 1, 8))) AS feat8
-      FROM documents ORDER BY doc_id
+             CAST(olen AS INT) AS byte_len,
+             CAST(coalesce(list_sum(list_transform(range(1, olen + 1),
+                  i -> CAST(16 * (strpos('0123456789abcdef', substring(h, 2*i - 1, 1)) - 1)
+                       + (strpos('0123456789abcdef', substring(h, 2*i, 1)) - 1) AS BIGINT))),
+                  0) AS BIGINT) AS byte_sum,
+             substring(h, 1, 8) AS head_hex,
+             coalesce(array_to_string(list_transform(
+                  range(0, CAST(ceil(olen / 16.0) AS BIGINT)),
+                  k -> substring(h, 32*k + 1, 2)), ''), '') AS frame_sample,
+             substring(h || '2020202020202020', 1, 16) AS feat8
+      FROM b ORDER BY doc_id
     """
   )
 }

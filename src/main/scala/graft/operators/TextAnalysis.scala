@@ -297,8 +297,7 @@ object TextAnalysis extends QueryModule {
       val p = P
       documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          def fold(str: String): Long =
-            str.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % p)
+          def fold(str: String): Long = T.cpFold(str, 31, p)
           val fpFull = fold(text)
           val toks = text.split(" ", -1)
           val fpMin = if (toks.length >= 3)

@@ -285,6 +285,38 @@ def write_tpch(sfdir: str) -> None:
     })
 
 
+# Unicode corpus: BMP accents, CJK, astral (surrogate pairs), RTL,
+# combining marks, case-folding dups. The Scala char folds used to
+# iterate UTF-16 units (astral chars fold as two surrogates) where the
+# oracle iterates code points — exact only on the BMP until the round-10
+# cpFold fix; the multimodal byte ops needed a true UTF-8-byte oracle.
+UNI_ROWS = [
+    (1, "héllo wörld déjà vu", "fr", "web"),
+    (2, "日本語 テキスト 処理", "en", "web"),
+    (3, "🎼 𝄞 music 🎶 notes", "en", "web"),
+    (4, "مرحبا بالعالم", "de", "web"),
+    (5, "é combining mark", "fr", "web"),
+    (6, "ASCII and 中文 and émoji 😀", "en", "web"),
+    (7, "🎼 𝄞 music 🎶 notes", "de", "web"),      # exact dup of 3
+    (8, "naïve naïve naïve", "fr", "web"),
+    (9, "αβγ δεζ ηθι", "de", "web"),
+    (10, "the quick brown fox", "en", "web"),
+    (11, "HÉLLO WÖRLD DÉJÀ VU", "en", "web"),     # case-folding dup of 1
+    (12, "𝄞", "fr", "web"),                        # single astral char
+]
+
+
+def write_unicode_documents(sfdir: str) -> None:
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in UNI_ROWS], pa.int64()),
+        "text": pa.array([r[1] for r in UNI_ROWS], pa.string()),
+        "lang": pa.array([r[2] for r in UNI_ROWS], pa.string()),
+        "source": pa.array([r[3] for r in UNI_ROWS], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in UNI_ROWS], pa.int64()),
+    })
+    pq.write_table(t, f"{sfdir}/documents.parquet")
+
+
 # Universe-mode exclusions, with the reason each is NOT a latent bug.
 UNIVERSE_EXCLUDE = {
     # vschema hardcodes the fixture corpus's 'OBJECT<k: BIGINT>' — a
@@ -384,11 +416,14 @@ def main() -> None:
     write_documents("/tmp/degen_emb")
     write_embeddings("/tmp/degen_emb")
     write_part("/tmp/degen_part")
+    os.makedirs("/tmp/degen_uni", exist_ok=True)
+    write_unicode_documents("/tmp/degen_uni")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
-    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part else 1)
+    ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
+    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni else 1)
 
 
 if __name__ == "__main__":
