@@ -42,7 +42,7 @@ KEYS = ",".join([
     "dedup_keep_best", "dedup_ngram_jaccard", "dedup_ngram_capped",
     "dedup_near_minhash", "dedup_simhash", "dedup_cluster_cc",
     "dedup_decontaminate", "sample_stratified", "sample_hash_bernoulli",
-    "multimodal_chunks", "multimodal_binary",
+    "multimodal_chunks", "multimodal_binary", "fn_array", "fn_array_setops",
 ])
 
 # Similarity/ANN family over a degenerate embeddings corpus: a ZERO
