@@ -61,10 +61,11 @@ object Bench {
     // first streaming key's first timed sample (visible as the family's
     // wide pinned maxima). Pay it here on a 100-row toy stream so timed
     // samples measure the keys' own work, not one-per-JVM class loading.
-    val ckptShm = java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))
-    val streamingKeys = Set("stream_batch_equiv", "stream_late_drop",
-      "stream_dedup", "stream_stateful_totals", "stream_stream_join",
-      "pipeline_daily_e2e")
+    // Both derived from Streaming itself so neither the reported ckpt
+    // regime nor the warm-up/cap set can drift from the module that owns
+    // them (review r10).
+    val ckptShm = graft.operators.Streaming.ckptOnShm
+    val streamingKeys = graft.operators.Streaming.checkpointedKeys
     if (bench.exists { case (k, _) => streamingKeys(k) }) try {
       import org.apache.spark.sql.functions.{col, window}
       import org.apache.spark.sql.streaming.Trigger
@@ -152,6 +153,19 @@ object Bench {
             .map(m => m.group(1) -> math.min(
               m.group(2).toDouble * 1.3 + 0.05, m.group(3).toDouble)).toMap
       }.getOrElse(Map.empty)
+    // A matching-sf baseline that parses to ZERO keys means the regex no
+    // longer fits the pin file's format — early-accept would silently
+    // vanish. Fail loud on stderr (the driver parses stdout's tail only)
+    // so the degradation is visible instead of a mystery slowdown
+    // (review r10).
+    if (acceptAt.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_EARLY_ACCEPT", "1") == "1" &&
+        scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("bench_baseline.json")))
+          .toOption.exists(t => s""""sf":\\s*"$sfName"""".r.findFirstIn(t).nonEmpty))
+      System.err.println(
+        "[bench] WARNING: bench_baseline.json matches this sf but parsed to " +
+          "0 per-key envelopes — early-accept disabled; check the pin format")
     val samples = bench.map { case (name, _) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -170,8 +184,13 @@ object Bench {
         // Batch keys keep min-of-3. Pinning runs (early-accept disabled
         // via SPARK_GRAFT_EARLY_ACCEPT=0) keep pure min-of-3 everywhere
         // so pinned medians stay comparable across rounds.
+        // The 2-sample cap applies ONLY when the key has an acceptance
+        // envelope: with no pinned baseline (fresh checkout, different
+        // sf, format drift) a bare min-of-2 would re-open the r5 ±2–4×
+        // single-key swing class — unpinned keys keep plain min-of-3
+        // exactly as the acceptAt comment promises (review r10).
         val cap =
-          if (streamingKeys(name) &&
+          if (streamingKeys(name) && acc.isDefined &&
               sys.env.getOrElse("SPARK_GRAFT_EARLY_ACCEPT", "1") == "1") 2
           else 3
         val buf = scala.collection.mutable.ArrayBuffer[Double](once())

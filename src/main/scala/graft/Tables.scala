@@ -78,9 +78,16 @@ object T {
         // non-UTC (r9 ADVICE). The legacy nanos branch above is
         // TZ-independent and needs no guard.
         val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-        require(tz == "UTC",
+        // Compare normalized zone rules, not the literal string: 'UTC',
+        // 'Etc/UTC', 'Z', '+00:00' are all value-preserving for the cast
+        // and must all pass; only a genuinely shifted zone should throw
+        // (review r10).
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        ).getOrElse(false)
+        require(isUtc,
           s"events.ts is TIMESTAMP_NTZ: the NTZ->TIMESTAMP cast requires " +
-            s"spark.sql.session.timeZone=UTC (got '$tz')")
+            s"a UTC session timezone (got '$tz')")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }

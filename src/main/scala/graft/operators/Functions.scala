@@ -288,6 +288,8 @@ object Functions extends QueryModule {
                round(try_divide(p_retailprice, p_size - 25), 6) + 0.0 AS div_maybe,
                try_add(9223372036854775807, p_partkey) AS add_ovf,
                try_cast(p_brand AS INT) AS bad_cast,
+               -- (negative index reads FROM THE END — element_at
+               --  semantics, mirrored in the oracle's CASE arms)
                try_element_at(array(1, 2), CAST(nullif(p_size, 0) AS INT)) AS elem,
                try_to_timestamp(p_brand, 'yyyy-MM-dd') AS bad_ts
         FROM part_try
@@ -559,7 +561,9 @@ object Functions extends QueryModule {
              round(CASE WHEN p_size <> 25 THEN p_retailprice / (p_size - 25) END, 6) + 0.0 AS div_maybe,
              CAST(CASE WHEN p_partkey = 0 THEN 9223372036854775807 END AS BIGINT) AS add_ovf,
              TRY_CAST(p_brand AS INT) AS bad_cast,
-             CAST(CASE WHEN p_size IN (1, 2) THEN p_size END AS INT) AS elem,
+             CAST(CASE WHEN p_size IN (1, 2) THEN p_size
+                       WHEN p_size = -1 THEN 2
+                       WHEN p_size = -2 THEN 1 END AS INT) AS elem,
              CAST(NULL AS TIMESTAMP) AS bad_ts
       FROM part ORDER BY p_partkey
     """,

@@ -67,11 +67,27 @@ object Streaming extends QueryModule {
     * shared storage (HDFS/S3 via `checkpointLocation`) — this helper is
     * explicitly the ephemeral-bench path, not deployment advice.
     */
+  /** The single /dev/shm-usable predicate — Bench reports the checkpoint
+    * regime from THIS value so the report can never drift from what
+    * freshCkptDir actually does (review r10).
+    */
+  private[graft] def ckptOnShm: Boolean =
+    java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))
+
+  /** The six checkpointed streaming keys (fresh checkpoint + real
+    * micro-batch runs per invocation). Bench derives its warm-up and
+    * two-sample-cap set from HERE so a future seventh key cannot be
+    * silently left out (review r10).
+    */
+  private[graft] val checkpointedKeys: Set[String] = Set(
+    "stream_batch_equiv", "stream_late_drop", "stream_dedup",
+    "stream_stateful_totals", "stream_stream_join", "pipeline_daily_e2e")
+
   private def freshCkptDir(prefix: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
     val p =
-      if (java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, prefix)
+      if (ckptOnShm)
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
     p.toString
   }
@@ -145,8 +161,11 @@ object Streaming extends QueryModule {
   private[graft] def eventsFingerprint(s: SparkSession, d: String): String = {
     val key = s"$d|${fileSig(java.nio.file.Paths.get(s"$d/events.parquet"))}"
     fpCache.getOrElseUpdate(key, {
+      // props participates in the XOR: a regeneration changing ONLY props
+      // (same ids/ts/types/values) must still change the fingerprint —
+      // the staged copies carry full rows incl. props (review r10).
       val r = events(s, d).agg(count(lit(1)), max(col("ts")),
-        expr("bit_xor(xxhash64(event_id, ts, event_type, value, user_id))")).head()
+        expr("bit_xor(xxhash64(event_id, ts, event_type, value, user_id, props))")).head()
       s"rows=${r.getLong(0)};maxTs=${r.get(1)};xor=${r.get(2)}"
     })
   }

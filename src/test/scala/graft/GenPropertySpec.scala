@@ -513,25 +513,37 @@ class GenPropertySpec extends AnyFunSuite {
         val u = 200L + (i % 7)
         List((4000L + 2 * i, p, u, "purchase"), (4001L + 2 * i, p + d, u, "error"))
       }
-      val dir = java.nio.file.Files.createTempDirectory("graft_theta_bnd").toString
-      rows.toDF("event_id", "us", "user_id", "event_type")
-        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-          col("user_id"), col("event_type"), lit(1.0).as("value"),
-          lit("{}").as("props"))
-        .coalesce(1).write.parquet(s"$dir/events.parquet")
-      val got = SparkEntry.queries("join_theta_range")(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // Brute force, no buckets: every (purchase, error) same-user pair
-      // with |Δus| ≤ band.
-      val ps = rows.filter(_._4 == "purchase").map(r => (r._3, r._2))
-      val es = rows.filter(_._4 == "error").map(r => (r._3, r._2))
-      val want = (for {
-        (u, p) <- ps; (ue, e) <- es
-        if u == ue && math.abs(p - e) <= bandUs
-      } yield u).groupBy(identity).map { case (u, l) => u -> l.size.toLong }
-      assert(got == want,
-        s"bucketized theta join diverged from brute force: got=$got want=$want")
+      val dir = java.nio.file.Files.createTempDirectory("graft_theta_bnd")
+      try {
+        rows.toDF("event_id", "us", "user_id", "event_type")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), lit(1.0).as("value"),
+            lit("{}").as("props"))
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("join_theta_range")(spark, dir.toString)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // Brute force, no buckets: every (purchase, error) same-user pair
+        // with |Δus| ≤ band.
+        val ps = rows.filter(_._4 == "purchase").map(r => (r._3, r._2))
+        val es = rows.filter(_._4 == "error").map(r => (r._3, r._2))
+        val want = (for {
+          (u, p) <- ps; (ue, e) <- es
+          if u == ue && math.abs(p - e) <= bandUs
+        } yield u).groupBy(identity).map { case (u, l) => u -> l.size.toLong }
+        assert(got == want,
+          s"bucketized theta join diverged from brute force: got=$got want=$want")
+      } finally reap(dir)
     }
+  }
+
+  /** Reap a per-sample fixture dir — these tests mint one per forAll
+    * sample, which would otherwise accumulate in /tmp across runs.
+    */
+  private def reap(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   // sample_hash_bernoulli keeps bucket < rate (STRICT: exactly `rate` of
@@ -547,23 +559,25 @@ class GenPropertySpec extends AnyFunSuite {
     val langs = Array("en", "de", "fr")
     def rate(l: String): Long = l match { case "en" => 10L; case "de" => 20L; case _ => 5L }
     val docs = (0L until 1000L).map(i => (i, s"t$i", langs((i % 3).toInt), "src", 2L))
-    val dir = java.nio.file.Files.createTempDirectory("graft_bern_bnd").toString
-    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("sample_hash_bernoulli")(spark, dir)
-      .collect().map(_.getLong(0)).toSet
-    val want = docs.filter { case (id, _, l, _, _) => bucket(id) < rate(l) }
-      .map(_._1).toSet
-    assert(got == want, s"sample diverged from reference arithmetic: " +
-      s"extra=${got -- want} missing=${want -- got}")
-    // The assertion above only bites at the boundary if boundary buckets
-    // actually occur: require a doc AT the rate bucket (excluded) and at
-    // rate−1 (included) for each lang.
-    langs.foreach { l =>
-      val ids = docs.filter(_._3 == l).map(_._1)
-      assert(ids.exists(id => bucket(id) == rate(l)) &&
-        ids.exists(id => bucket(id) == rate(l) - 1),
-        s"boundary buckets unexercised for $l — enlarge the id range")
-    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bern_bnd")
+    try {
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("sample_hash_bernoulli")(spark, dir.toString)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter { case (id, _, l, _, _) => bucket(id) < rate(l) }
+        .map(_._1).toSet
+      assert(got == want, s"sample diverged from reference arithmetic: " +
+        s"extra=${got -- want} missing=${want -- got}")
+      // The assertion above only bites at the boundary if boundary buckets
+      // actually occur: require a doc AT the rate bucket (excluded) and at
+      // rate−1 (included) for each lang.
+      langs.foreach { l =>
+        val ids = docs.filter(_._3 == l).map(_._1)
+        assert(ids.exists(id => bucket(id) == rate(l)) &&
+          ids.exists(id => bucket(id) == rate(l) - 1),
+          s"boundary buckets unexercised for $l — enlarge the id range")
+      }
+    } finally reap(dir)
   }
 }

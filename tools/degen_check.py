@@ -194,6 +194,8 @@ def write_part(sfdir: str) -> None:
         (8, "tie name", "Brand#12", "v w", 7, 9.0),      # retailprice tie ...
         (9, "tie name", "Brand#12", "v w", 8, 9.0),      # ... same brand
         (10, "chartreuse lemon powder puff", "Brand#23", "MEDIUM POLISHED", 9, 10.0),
+        (11, "neg size", "Brand#11", "w", -1, 11.0),   # negative index: from-the-end
+        (12, "neg two", "Brand#12", "w w", -2, 12.0),
     ]
     t = pa.table({
         "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
