@@ -137,22 +137,29 @@ object Bench {
     // pinned medians stay pure min-of-3 — never biased by the pin they
     // themselves define.
     val sfName = new java.io.File(sfDir).getName
-    val acceptAt: Map[String, Double] =
+    // Pinned per-key (acceptance threshold, band max) from
+    // bench_baseline.json. The band max additionally gates the deferred
+    // re-measure pass below (r10 verdict task 1).
+    val pins: Map[String, (Double, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_EARLY_ACCEPT", "1") != "1") Map.empty
       else scala.util.Try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("bench_baseline.json"))
         if (s""""sf":\\s*"$sfName"""".r.findFirstIn(txt).isEmpty)
-          Map.empty[String, Double] // pin is for a different scale factor
+          Map.empty[String, (Double, Double)] // pin is for a different scale factor
         else
           // Acceptance is CAPPED at the pinned band max: an accepted
           // sample can never itself read as an out-of-band flag to
           // tools/bench_compare.py or the judge.
           """"([A-Za-z0-9_]+)":\s*\{\s*"median":\s*([0-9.]+),\s*"min":\s*[0-9.]+,\s*"max":\s*([0-9.]+)""".r
             .findAllMatchIn(txt)
-            .map(m => m.group(1) -> math.min(
-              m.group(2).toDouble * 1.3 + 0.05, m.group(3).toDouble)).toMap
+            .map { m =>
+              val max = m.group(3).toDouble
+              m.group(1) -> (math.min(
+                m.group(2).toDouble * 1.3 + 0.05, max), max)
+            }.toMap
       }.getOrElse(Map.empty)
+    val acceptAt: Map[String, Double] = pins.map { case (k, (a, _)) => k -> a }
     // A matching-sf baseline that parses to ZERO keys means the regex no
     // longer fits the pin file's format — early-accept would silently
     // vanish. Fail loud on stderr (the driver parses stdout's tail only)
@@ -166,12 +173,13 @@ object Bench {
       System.err.println(
         "[bench] WARNING: bench_baseline.json matches this sf but parsed to " +
           "0 per-key envelopes — early-accept disabled; check the pin format")
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      run(name)
+      (System.nanoTime() - t0) / 1e9
+    }
     val samples = bench.map { case (name, _) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        run(name)
-        (System.nanoTime() - t0) / 1e9
-      }
+      def once(): Double = timeOnce(name)
       // A failed query reports -1 (never a bogus near-zero timing).
       try {
         val acc = acceptAt.get(name)
@@ -198,7 +206,42 @@ object Bench {
         name -> buf.toSeq
       } catch { case _: Throwable => name -> Seq(-1.0) }
     }
-    val results = samples.map { case (k, ss) => k -> ss.min }.toMap
+    // Deferred re-measure pass (r10 verdict task 1): a sustained
+    // contention burst defeats min-of-N because the N samples are
+    // ADJACENT in time — the r10 driver recorded dedup_cluster_cc at
+    // 8.8–11.4 s across all three samples where the same tree runs
+    // 1.20 s locally. After the FULL sweep (so minutes separate the two
+    // windows), re-run ONCE any key whose min still exceeds its pinned
+    // band max and keep the better number. On a healthy run nothing is
+    // over band and the pass costs zero; under a burst it converts
+    // "indistinguishable from a regression" into an in-band number. This
+    // also supplies the ADVICE-suggested extra confirming sample for a
+    // streaming key that exhausted its 2-sample cap out-of-band.
+    // Envelope-gated exactly like early-accept: pinning runs
+    // (SPARK_GRAFT_EARLY_ACCEPT=0) skip it, so pinned medians stay pure
+    // min-of-3 and the pass can never bias the baseline it is judged
+    // against. Failed keys (-1 sentinel) are never retried here — a
+    // deterministic failure would just fail again and mask nothing.
+    val rerun = scala.collection.mutable.ArrayBuffer.empty[String]
+    val samples2 = samples.map { case (k, ss) =>
+      val mn = ss.min
+      pins.get(k) match {
+        case Some((_, bandMax)) if mn >= 0 && mn > bandMax =>
+          rerun += k
+          val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+          k -> (if (extra >= 0) ss :+ extra else ss)
+        case _ => k -> ss
+      }
+    }
+    val results = samples2.map { case (k, ss) => k -> ss.min }.toMap
+    // Keys STILL over their pinned band max after the re-measure: the
+    // stdout line's self-diagnosis (r10 verdict task 2). over_band>0 with
+    // rerun>0 reads "contention outlasted both windows or a real
+    // regression — check bench_full.json"; over_band=0 with rerun>0 reads
+    // "burst caught and corrected".
+    val overBand = results.count { case (k, v) =>
+      v >= 0 && pins.get(k).exists { case (_, bandMax) => v > bandMax }
+    }
     // The driver parses this line from a 2000-char stdout TAIL (measured
     // from BENCH_r01.json: tail len 2000, and round 1's full-precision
     // line was truncated → "parsed": null). sbt's trailing "[success]"
@@ -206,10 +249,11 @@ object Bench {
     // ~1900 chars NO MATTER how many keys the inventory grows to: emit
     // the slowest keys (the informative ones) until the char budget is
     // spent, and fold the remaining fast keys into a count + summed
-    // seconds. Budget 1700 (r9 verdict task 5: was 1500; fixed overhead
-    // outside `queries` is ~120 chars, so 1700 keeps the line ≤ ~1850 —
-    // ~10 more keys visible to round-over-round comparison). Full per-key
-    // numbers live in bench_full.json / BASELINE.md.
+    // seconds. Budget 1670 (r9 verdict task 5 raised it to 1700; r11's
+    // over_band/rerun fields add ~30 chars of fixed overhead, so trim the
+    // key budget by the same amount — fixed overhead is now ~150 chars,
+    // keeping the line ≤ ~1850). Full per-key numbers live in
+    // bench_full.json / BASELINE.md.
     def f(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.values.filter(_ >= 0).sum
     // Failures (-1 sentinel) sort FIRST: under the char budget the tail
@@ -222,7 +266,7 @@ object Bench {
       val rest = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       sorted.foreach { case (k, v) =>
         val cost = k.length + f(v).length + 4
-        if (used + cost <= 1700) { keep += ((k, v)); used += cost }
+        if (used + cost <= 1670) { keep += ((k, v)); used += cost }
         else rest += ((k, v))
       }
       (keep, rest)
@@ -236,8 +280,9 @@ object Bench {
     // (VERDICT r7 task 2 / r8 task 2). tools/bench_baseline.py consumes
     // this to pin per-key medians in BASELINE.md.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
-    val keyJson = samples.sortBy(_._1).map { case (k, ss) =>
-      s"""    "$k": {"samples": [${ss.map(f).mkString(", ")}], "min": ${f(ss.min)}}"""
+    val keyJson = samples2.sortBy(_._1).map { case (k, ss) =>
+      val rr = if (rerun.contains(k)) """, "rerun": true""" else ""
+      s"""    "$k": {"samples": [${ss.map(f).mkString(", ")}], "min": ${f(ss.min)}$rr}"""
     }.mkString(",\n")
     // `ckpt` reports where the streaming keys' ephemeral checkpoints
     // actually went (r9 verdict task 1: the freshCkptDir /dev/shm
@@ -245,8 +290,8 @@ object Bench {
     // field is the only way to know which regime a bench number is from).
     val ckptMode = if (ckptShm) "shm" else "tmp"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode"}""")
+      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun.size},\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun.size}}""")
     spark.stop()
   }
 }
