@@ -30,21 +30,39 @@ import org.apache.spark.sql.functions._
   */
 final class Playcounts(counts: DataFrame) {
 
-  /** Single (file, date) point lookup — MySQL PK lookup analog. A (file,
-    * date) with no stored row answers count 0, not an empty result: the
-    * reference's API returns a zero count for dates with no plays (the
-    * same zero-fill contract as `join_anti_zerofill`), and the
-    * pipeline_daily_e2e oracle (a COUNT(*) over the raw events) produces
-    * a 0-row for such dates — found diverging on the round-10
-    * degenerate-universe corpus where a queried date had no events.
+  /** 1-row-or-empty probe: does the counts table know `file` AT ALL?
+    * Gates the zero-fill below so "zero plays that day" and "unknown
+    * file" stay distinguishable (round-10 ADVICE: the reference API
+    * answers error/empty for a filename it has never seen, zero only for
+    * a known file on a playless date). limit(1) short-circuits the scan
+    * at the first pushed-filter match; crossJoin with the empty probe
+    * result erases the fabricated row for unknown files while the main
+    * branch keeps its own (file, date) pushdown + partition pruning.
+    */
+  private def knownFile(file: String): DataFrame =
+    counts.filter(col("file") === file).limit(1).select(lit(1).as("_known"))
+
+  /** Single (file, date) point lookup — MySQL PK lookup analog. A KNOWN
+    * file on a date with no stored row answers count 0, not an empty
+    * result: the reference's API returns a zero count for dates with no
+    * plays (the same zero-fill contract as `join_anti_zerofill`), and
+    * the pipeline_daily_e2e oracle (a COUNT(*) over the raw events)
+    * produces a 0-row for such dates — found diverging on the round-10
+    * degenerate-universe corpus where a queried date had no events. A
+    * filename absent from counts entirely answers an EMPTY result (the
+    * reference's unknown-file error path).
     */
   def dateCount(file: String, date: java.sql.Date): DataFrame =
     counts.filter(col("file") === file && col("date") === date)
       .agg(coalesce(sum(col("count")), lit(0L)).as("count"))
+      .crossJoin(broadcast(knownFile(file)))
       .select(lit(file).as("file"), lit(date).as("date"), col("count"))
 
   /** Range query: grand total + date-sorted per-day details — the
     * `{filename, total, details:[{date,count}…]}` API response shape.
+    * Same unknown-file contract as `dateCount`: a known file with no
+    * plays in range answers (total 0, details []), an unknown file
+    * answers empty.
     */
   def dateRangeCount(file: String, start: java.sql.Date, end: java.sql.Date): DataFrame = {
     val daily = counts
@@ -53,6 +71,7 @@ final class Playcounts(counts: DataFrame) {
     daily.agg(
       coalesce(sum(col("count")), lit(0L)).as("total"),
       sort_array(collect_list(struct(col("date"), col("count")))).as("details"))
+      .crossJoin(broadcast(knownFile(file)))
       .select(lit(file).as("file"), col("total"), col("details"))
   }
 

@@ -937,9 +937,15 @@ object Relational extends QueryModule {
           // smaller groups the verdict claims nothing rather than
           // asserting an unsound bound (degenerate-universe corpus:
           // 3-row groups legitimately landed outside the bracket).
-          (col("n") < 52 || (col("aq50") >= element_at(col("bq"), 1)
+          // `.isNull ||`: a group whose measured column is ALL NULL
+          // (n counts rows, not values) sketches to NULL — the verdict
+          // again claims nothing instead of going NULL itself, keeping
+          // parity with the oracle's literal TRUE (round-10 ADVICE).
+          (col("n") < 52 || col("aq50").isNull
+            || (col("aq50") >= element_at(col("bq"), 1)
             && col("aq50") <= element_at(col("bq"), 2))).as("q50_in_rank_tol"),
-          (col("n") < 52 || (col("aq99") >= element_at(col("bp"), 1)
+          (col("n") < 52 || col("aq99").isNull
+            || (col("aq99") >= element_at(col("bp"), 1)
             && col("aq99") <= element_at(col("bp"), 2))).as("q99_in_rank_tol"))
     }),
 

@@ -330,7 +330,7 @@ object Streaming extends QueryModule {
           stageSingleFile(ev.filter(col("ts") < mid), in, "2_late", t0 + 120000)
         }
         val schema = s.read.parquet(s"$in/0_ontime.parquet").schema
-        val q = s.readStream.schema(schema)
+        val emitted = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
           .withWatermark("ts", "1 hour")
@@ -339,7 +339,7 @@ object Streaming extends QueryModule {
             sum(round(col("value") * 100).cast("long")).as("total_cents"))
           .select(col("w.start").cast("date").as("day"), col("event_type"),
             col("n"), col("total_cents"))
-          .writeStream
+        val q = emitted.writeStream
           .outputMode("append")
           .format("parquet")
           .option("path", out)
@@ -347,12 +347,17 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Read back with the emission's own schema: a run that closes NO
+        // windows (single event, all-late arrivals — the watermark never
+        // passes a day boundary) leaves only _spark_metadata in the sink
+        // dir, where bare schema inference would throw instead of
+        // answering the correct empty result (streaming-degenerate find).
+        s.read.schema(emitted.schema).parquet(out)
       } finally {
         // Only the checkpoint is per-run garbage; the staged input dir is
         // the reusable per-sf fixture.
         rmr(java.nio.file.Paths.get(ckpt))
       } }
-      s.read.parquet(out)
     }),
 
     // Streaming exactly-once dedup, driver-checked: the events file lands
@@ -395,13 +400,13 @@ object Streaming extends QueryModule {
             in, "1_redelivered", t0 + 60000)
         }
         val schema = s.read.parquet(s"$in/0_full.parquet").schema
-        val q = s.readStream.schema(schema)
+        val emitted = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-          .writeStream
+        val q = emitted.writeStream
           .outputMode("append")
           .format("parquet")
           .option("path", out)
@@ -409,15 +414,17 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Aggregate the deduped emission for a compact, integer-exact
+        // compare: equality here certifies each event_id survived exactly
+        // once with its original row intact. Explicit schema on the
+        // read-back: a zero-emission run (empty corpus) leaves a sink dir
+        // with only _spark_metadata, where inference would throw.
+        s.read.schema(emitted.schema).parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
       } finally rmr(java.nio.file.Paths.get(ckpt)) }
-      // Aggregate the deduped emission for a compact, integer-exact
-      // compare: equality here certifies each event_id survived exactly
-      // once with its original row intact.
-      s.read.parquet(out)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("event_id")).as("n_ids"),
-          sum(round(col("value") * 100).cast("long")).as("total_cents"))
     }),
 
     // Arbitrary stateful processing (Spark 4 transformWithState),
@@ -541,12 +548,12 @@ object Streaming extends QueryModule {
         val c = s.readStream.schema(cSch).parquet(s"$in/c")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "1 hour")
-        val q = p.join(c,
+        val emitted = p.join(c,
             col("user_id") === col("c_user") &&
               col("c_ts") <= col("p_ts") &&
               col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
           .select(col("p_id"), col("user_id"))
-          .writeStream
+        val q = emitted.writeStream
           .outputMode("append")
           .format("parquet")
           .option("path", out)
@@ -554,10 +561,13 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Pair counts per user — compact, integer-exact compare. Explicit
+        // schema: a corpus with no qualifying pairs (no purchases, or no
+        // click within the band) emits nothing, leaving a metadata-only
+        // sink dir where inference would throw.
+        s.read.schema(emitted.schema).parquet(out)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
       } finally rmr(java.nio.file.Paths.get(ckpt)) }
-      // Pair counts per user — compact, integer-exact compare.
-      s.read.parquet(out)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
     }),
 
     // The reference's ENTIRE operational loop as ONE driver-checked key:
@@ -664,16 +674,23 @@ object Streaming extends QueryModule {
 
     // The full ingest→sink→API chain must be lossless: the API's point
     // lookups off the upserted counts table equal the raw-event counts.
+    // HAVING count(*) > 0 mirrors the API's unknown-file contract (r10
+    // ADVICE): a file type with NO events anywhere answers EMPTY, a known
+    // type on a playless date answers the zero-fill row — without the
+    // gate the oracle would fabricate a count-0 row for an absent type
+    // on corpora that lack it (the fixture always has both types).
     "pipeline_daily_e2e" -> """
-      SELECT 'view' AS file, DATE '2024-01-20' AS date, count(*) AS count
-      FROM events
-      WHERE event_type = 'view'
-        AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-20'
+      SELECT 'view' AS file, DATE '2024-01-20' AS date,
+             count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE)
+                              = DATE '2024-01-20') AS count
+      FROM events WHERE event_type = 'view'
+      HAVING count(*) > 0
       UNION ALL
-      SELECT 'click' AS file, DATE '2024-01-05' AS date, count(*) AS count
-      FROM events
-      WHERE event_type = 'click'
-        AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
+      SELECT 'click' AS file, DATE '2024-01-05' AS date,
+             count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE)
+                              = DATE '2024-01-05') AS count
+      FROM events WHERE event_type = 'click'
+      HAVING count(*) > 0
       ORDER BY file
     """,
 

@@ -66,6 +66,22 @@ class ApiSpec extends AnyFunSuite {
     val zero = pc.dateCount("Song.ogg", day2).collect()
     assert(zero.length == 1 && zero(0).getLong(2) == 0L,
       s"missing date should zero-fill, got ${zero.toSeq}")
+    // A filename counts has NEVER seen answers EMPTY, not zero — the
+    // reference API's unknown-file error path stays distinguishable from
+    // a known file's playless date (round-10 ADVICE).
+    val unknown = pc.dateCount("Never-ingested.ogg", day1).collect()
+    assert(unknown.isEmpty, s"unknown file should be empty, got ${unknown.toSeq}")
+  }
+
+  test("dateRangeCount unknown file answers empty, known playless range zero") {
+    val pc = new api.Playcounts(counts)
+    val unknown = pc.dateRangeCount("Never-ingested.ogg", day1, day2).collect()
+    assert(unknown.isEmpty, s"unknown file should be empty, got ${unknown.toSeq}")
+    // Known file, range strictly after its plays: zero-fill with [] details.
+    val playless = pc.dateRangeCount("Song.ogg",
+      Date.valueOf("2024-04-01"), Date.valueOf("2024-04-30")).collect()
+    assert(playless.length == 1 && playless(0).getAs[Long]("total") == 0L &&
+      playless(0).getSeq[org.apache.spark.sql.Row](2).isEmpty)
   }
 
   test("dateRangeCount returns total plus date-sorted details") {

@@ -536,6 +536,110 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  // win_trailing_30d's rangeBetween(−29 days, 0) frame edge has no
+  // fixture coverage: microsecond event times virtually never put two
+  // ACTIVE days exactly 29 or 30 days apart for one type, so an
+  // off-by-one (−30, or an exclusive bound) would pass the hash gate.
+  // Force the edge: a dedicated type with active days {0, 29, 30, 59}
+  // pins day 29's trailing INCLUDING day 0, day 30 EXCLUDING it, and
+  // day 59 including 30 while excluding 29; random (type, day, value)
+  // mass around it keeps the check general. Brute force = per-(type,
+  // day) sum over days in [d−29, d]. Values are whole numbers so the
+  // r4 daily rounding is exact and the compare needs no tolerance.
+  test("trailing-30d frame includes day -29 and excludes day -30 exactly") {
+    import spark.implicits._
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+    val dayUs = 86400L * 1000000L
+    val evGen: Gen[List[(Int, Int, Int)]] = Gen.nonEmptyListOf(for {
+      ty <- Gen.chooseNum(0, 1)
+      d <- Gen.chooseNum(0, 40)
+      v <- Gen.chooseNum(0, 50)
+    } yield (ty, d, v))
+    forAll(evGen) { rnd =>
+      val forced = List((2, 0, 1), (2, 29, 2), (2, 30, 4), (2, 59, 8))
+      val evs = rnd ++ forced
+      val dir = java.nio.file.Files.createTempDirectory("graft_w30_bnd")
+      try {
+        val rows = evs.zipWithIndex.map { case ((ty, d, v), i) =>
+          // Intra-day spread incl. exact midnight (i % 3 == 0) so the
+          // daily() grain's day() cast sees boundary instants too.
+          val us = baseUs + d * dayUs + (i % 3) * (dayUs / 3)
+          (i.toLong, us, (i % 4).toLong, s"ty$ty", v.toDouble, "{}")
+        }
+        rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("win_trailing_30d")(spark, dir.toString)
+          .collect().map { r =>
+            (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+              (r.getLong(2), r.getDouble(3))
+          }.toMap
+        val base = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+        val daily = evs.groupBy(e => (e._1, e._2)).map { case ((ty, d), xs) =>
+          (s"ty$ty", base + d) -> (xs.size.toLong, xs.map(_._3.toDouble).sum)
+        }
+        val want = daily.map { case ((ty, ed), (n, _)) =>
+          val trailing = daily.collect {
+            case ((t2, e2), (_, s2)) if t2 == ty && e2 >= ed - 29 && e2 <= ed => s2
+          }.sum
+          (ty, ed) -> (n, trailing)
+        }
+        assert(got == want,
+          s"trailing-30d mismatch: ${got.toSet.diff(want.toSet).take(3)} vs " +
+            s"want ${want.toSet.diff(got.toSet).take(3)} on evs=$evs")
+      } finally reap(dir)
+    }
+  }
+
+  // Tumbling day windows must be START-INCLUSIVE and END-EXCLUSIVE: an
+  // event at EXACTLY midnight belongs to the day it opens, one at
+  // 23:59:59.999999 to the day it closes — the fixture's microsecond
+  // times never land on either edge, so an inclusive-end window() (or a
+  // truncation that rounds half-up) would be invisible to the hash gate
+  // (the r9 session-window find was exactly this blind-spot class).
+  // Every generated event sits AT a boundary; brute force is integer
+  // floor-division of the µs offset.
+  test("tumbling day windows are start-inclusive end-exclusive at midnight") {
+    import spark.implicits._
+    val baseUs = 1704067200L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val evGen: Gen[List[(Int, Int, Int)]] = Gen.nonEmptyListOf(for {
+      d <- Gen.chooseNum(0, 6)
+      b <- Gen.chooseNum(0, 2) // 0: exact midnight, 1: +1µs, 2: last µs
+      v <- Gen.chooseNum(0, 9)
+    } yield (d, b, v))
+    forAll(evGen) { evs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_tum_bnd")
+      try {
+        val rows = evs.zipWithIndex.map { case ((d, b, v), i) =>
+          val off = b match {
+            case 0 => 0L
+            case 1 => 1L
+            case _ => dayUs - 1L
+          }
+          (i.toLong, baseUs + d * dayUs + off, (i % 3).toLong,
+            if (i % 2 == 0) "view" else "click", v.toDouble, "{}")
+        }
+        rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("stream_tumbling_daily")(spark, dir.toString)
+          .collect().map { r =>
+            (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+              (r.getLong(2), r.getDouble(3))
+          }.toMap
+        val want = rows.groupBy { case (_, us, _, ty, _, _) =>
+          (((us / dayUs) * dayUs) / 1000000L, ty) // floor to the day that OPENS at the event's midnight
+        }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._5).sum) }
+        assert(got == want,
+          s"tumbling boundary mismatch: ${got.toSet.diff(want.toSet).take(3)} vs " +
+            s"want ${want.toSet.diff(got.toSet).take(3)} on evs=$evs")
+      } finally reap(dir)
+    }
+  }
+
   /** Reap a per-sample fixture dir — these tests mint one per forAll
     * sample, which would otherwise accumulate in /tmp across runs.
     */

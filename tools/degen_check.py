@@ -67,6 +67,21 @@ PART_KEYS = ",".join([
     "win_rank_topk",
 ])
 
+# Streaming-specific degenerates (round 11): the checkpointed keys' state
+# machines have branches the fixture arrival pattern never takes — an
+# EMPTY staged arrival file (a zero-row micro-batch must commit cleanly),
+# a single-event stream (watermark never passes a window boundary → the
+# append sink emits NOTHING, and the read-back must answer empty instead
+# of throwing on a metadata-only dir), and an all-late arrival set (the
+# on-time file itself is the zero-row batch, so the 'late' rows pass the
+# never-advanced watermark and then fail to close any window). The three
+# batch-mode window keys ride along for free.
+STREAM_KEYS = ",".join([
+    "stream_tumbling_daily", "stream_sliding_1h30m", "stream_session_5m",
+    "stream_batch_equiv", "stream_late_drop", "stream_dedup",
+    "stream_stateful_totals", "stream_stream_join", "pipeline_daily_e2e",
+])
+
 EVENT_KEYS = ",".join([
     "agg_daily_counts", "agg_range_total", "agg_distinct_users",
     "agg_multi_distinct", "agg_funnel_steps", "agg_retention_cohort",
@@ -157,6 +172,60 @@ def write_events(sfdir: str) -> None:
         "props": pa.array([r[5] for r in rows], pa.string()),
     })
     pq.write_table(t, f"{sfdir}/events.parquet")
+
+
+def _write_event_rows(sfdir: str, rows) -> None:
+    """rows: (event_id, ts-iso, user_id, event_type, value, props)."""
+    ts = dt.datetime.fromisoformat
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, f"{sfdir}/events.parquet")
+
+
+def write_events_emptybatch(sfdir: str) -> None:
+    """Every staged SECOND (or third) arrival file is EMPTY: all events in
+    Jan 10–14 (on-time for stream_late_drop's Jan-10 cutoff; before the
+    Jan-15 split of stateful_totals/pipeline), and NO click/purchase rows
+    (stream_dedup's redelivery file and BOTH stream_stream_join sources
+    are zero-row streams). pipeline_daily_e2e's 'click' lookup hits a file
+    type counts has never seen — the unknown-file API contract."""
+    rows = []
+    for i, d in enumerate(range(10, 15)):
+        rows.append((2 * i, f"2024-01-{d:02d} 06:00:00", 1, "view", float(d), '{"k": 1}'))
+        rows.append((2 * i + 1, f"2024-01-{d:02d} 18:30:00", 2, "error", d / 2.0, '{"k": 2}'))
+    _write_event_rows(sfdir, rows)
+
+
+def write_events_single(sfdir: str) -> None:
+    """A single-event stream: the watermark (ts − 1 h) never passes the
+    day-window boundary, so stream_late_drop's append sink emits NOTHING —
+    the read-back-from-metadata-only-dir branch. Every split beyond the
+    first arrival file is a zero-row micro-batch."""
+    _write_event_rows(sfdir,
+                      [(0, "2024-01-12 10:00:00", 1, "view", 5.0, '{"k": 1}')])
+
+
+def write_events_alllate(sfdir: str) -> None:
+    """All-late arrival set: every event precedes stream_late_drop's Jan-5
+    'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
+    late rows pass the never-advanced initial watermark, and (being one
+    day) close no window — emission empty on both engines. Clicks and
+    purchases keep dedup/join non-trivial: u1's click is inside the 5-min
+    attribution band, u2's is not."""
+    _write_event_rows(sfdir, [
+        (0, "2024-01-03 09:00:00", 1, "view", 1.0, '{"k": 1}'),
+        (1, "2024-01-03 09:01:00", 1, "click", 1.5, '{"k": 1}'),
+        (2, "2024-01-03 09:03:00", 1, "purchase", 10.0, '{"k": 2}'),
+        (3, "2024-01-03 10:00:00", 2, "click", 2.0, '{"k": 1}'),
+        (4, "2024-01-03 10:30:00", 2, "purchase", 20.0, '{"k": 3}'),
+        (5, "2024-01-03 11:00:00", 3, "view", 3.0, '{"k": 1}'),
+    ])
 
 
 def write_embeddings(sfdir: str) -> None:
@@ -271,6 +340,16 @@ def write_tpch(sfdir: str) -> None:
         (11, 8, 1, 1, 30.0, 300.0, 0.1, 0.08, "A", "F", "1996-07-10"),  # tie twin
         (100, 9, 2, 1, 2.0, 9.0, 0.02, 0.0, "N", "F", "1993-03-01"),
         (999, 10, 9, 1, 7.0, 70.0, 0.07, 0.01, "R", "O", "1997-01-15"),  # orphan
+    ] + [
+        # 52-row group "Z" whose measures are ALL NULL: big enough to pass
+        # the approx-quantile verdict's n>=52 soundness gate while its
+        # sketch is NULL — the exact scenario the round-10 ADVICE flagged
+        # (verdict must claim nothing, not go NULL vs the oracle's TRUE).
+        # Orphan orderkeys (2000+) keep the rows out of the order-joining
+        # SQL keys; group-by-returnflag keys see an all-NULL measure group.
+        (2000 + i, 11, 3, 1, None, None, 0.0, 0.0, "Z", "Z",
+         f"1995-06-{(i % 28) + 1:02d}")
+        for i in range(52)
     ]
     tbl(f"{sfdir}/lineitem.parquet", {
         "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
@@ -396,6 +475,17 @@ def run_family(label: str, sfdir: str, keys: str | None) -> bool:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "stream":
+        # Streaming-degenerate families only (fast iteration path).
+        oks = []
+        for label, d, w in (
+                ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
+                ("stream_single", "/tmp/degen_s_single", write_events_single),
+                ("stream_alllate", "/tmp/degen_s_late", write_events_alllate)):
+            os.makedirs(d, exist_ok=True)
+            w(d)
+            oks.append(run_family(label, d, STREAM_KEYS))
+        sys.exit(0 if all(oks) else 1)
     if len(sys.argv) > 1 and sys.argv[1] == "universe":
         # Whole-inventory mode: every table in ONE adversarial dir, every
         # key (incl. the checkpointed streaming family, which stages its
@@ -420,12 +510,21 @@ def main() -> None:
     write_part("/tmp/degen_part")
     os.makedirs("/tmp/degen_uni", exist_ok=True)
     write_unicode_documents("/tmp/degen_uni")
+    for d, w in (("/tmp/degen_s_empty", write_events_emptybatch),
+                 ("/tmp/degen_s_single", write_events_single),
+                 ("/tmp/degen_s_late", write_events_alllate)):
+        os.makedirs(d, exist_ok=True)
+        w(d)
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni else 1)
+    ok_se = run_family("stream_empty", "/tmp/degen_s_empty", STREAM_KEYS)
+    ok_ss = run_family("stream_single", "/tmp/degen_s_single", STREAM_KEYS)
+    ok_sl = run_family("stream_alllate", "/tmp/degen_s_late", STREAM_KEYS)
+    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni
+             and ok_se and ok_ss and ok_sl else 1)
 
 
 if __name__ == "__main__":
