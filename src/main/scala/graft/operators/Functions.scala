@@ -31,7 +31,14 @@ object Functions extends QueryModule {
         regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
         concat_ws("|", lpad(col("p_brand"), 12, "_"),
           translate(col("p_type"), " ", "_")).as("tag"),
-        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        // Dialect guard (r11, measured on the degenerate part corpus):
+        // Spark levenshtein is CODE-POINT based, DuckDB's is BYTE based —
+        // 'ıssiz#9' vs 't u' is 7 vs 8. Claim the distance only when both
+        // args are pure ASCII (bytes == chars, where the engines agree);
+        // the code-point semantics on non-ASCII is pinned in Round3Spec.
+        when(octet_length(col("p_brand")) === length(col("p_brand"))
+            && octet_length(col("p_type")) === length(col("p_type")),
+          levenshtein(col("p_brand"), col("p_type"))).as("lev"),
         length(trim(col("p_name"))).as("name_len"))
     }),
 
@@ -385,7 +392,9 @@ object Functions extends QueryModule {
              regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
              regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
              lpad(p_brand, 12, '_') || '|' || translate(p_type, ' ', '_') AS tag,
-             CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+             CAST(CASE WHEN octet_length(encode(p_brand)) = length(p_brand)
+                        AND octet_length(encode(p_type)) = length(p_type)
+                       THEN levenshtein(p_brand, p_type) END AS INT) AS lev,
              CAST(length(trim(p_name)) AS INT) AS name_len
       FROM part ORDER BY p_partkey
     """,
@@ -502,14 +511,19 @@ object Functions extends QueryModule {
       FROM u ORDER BY p_partkey
     """,
 
+    // encode(), not CAST(x AS BLOB): DuckDB's string→blob CAST rejects
+    // any non-ASCII byte ("must be escaped with hex codes") — one ı in a
+    // brand killed the whole oracle query (r11 degenerate part corpus);
+    // encode() is the real UTF-8 conversion and agrees with Spark's
+    // CAST(string AS BINARY) on every input.
     "fn_encode" -> """
       SELECT p_partkey,
-             to_base64(CAST(p_name AS BLOB)) AS b64,
-             lower(hex(CAST(p_brand AS BLOB))) AS brand_hex,
+             to_base64(encode(p_name)) AS b64,
+             lower(hex(encode(p_brand))) AS brand_hex,
              sha256(p_name) AS sha256,
              md5(p_name) AS md5,
-             CAST(bit_length(p_name) AS INT) AS bits,
-             CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS octets
+             CAST(octet_length(encode(p_name)) * 8 AS INT) AS bits,
+             CAST(octet_length(encode(p_name)) AS INT) AS octets
       FROM part ORDER BY p_partkey
     """,
 
@@ -568,6 +582,14 @@ object Functions extends QueryModule {
       FROM part ORDER BY p_partkey
     """,
 
+    // Known cross-engine divergence classes, measured r11 and kept OUT of
+    // the cross-engine corpora (pinned Spark-side in Round3Spec): Spark
+    // lower('İ') = i+U+0307 (Unicode SpecialCasing) vs DuckDB bare i;
+    // Spark upper('ß') = SS vs DuckDB U+1E9E; Spark's final-sigma lower
+    // is context-aware (…Σ → …ς) vs DuckDB per-codepoint (…σ), and
+    // UTF8_LCASE folds σ = ς where lower() grouping can't. Dotless ı is
+    // the one locale-sensitive class both engines agree on — exercised by
+    // the degenerate part corpus.
     "fn_collation" -> """
       WITH m AS (
         SELECT unnest([p_brand, lower(p_brand), upper(p_brand)]) AS b

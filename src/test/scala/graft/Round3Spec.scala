@@ -13,6 +13,58 @@ class Round3Spec extends AnyFunSuite {
 
   private def q(key: String) = SparkEntry.queries(key)(spark, sf)
 
+  // fn_collation's UTF8_LCASE semantics on the locale-sensitive fold
+  // classes (r10 verdict task 5), pinned Spark-side because the engines'
+  // Unicode case implementations GENUINELY diverge here (measured this
+  // round, so these classes stay out of the cross-engine corpora):
+  // - İ U+0130: Spark lower() → i + U+0307 combining dot (Unicode
+  //   SpecialCasing), DuckDB/utf8proc → bare i;
+  // - ß: Spark upper() → SS, DuckDB → U+1E9E CAPITAL SHARP S (so DuckDB
+  //   round-trips the fan-out into ONE group where Spark splits ss/ß —
+  //   and UTF8_LCASE deliberately does NOT fold ß = ss);
+  // - final sigma: Spark lower('ΟΔΟΣ') is context-aware → ς, DuckDB is
+  //   per-codepoint → σ; UTF8_LCASE folds σ = ς so all casings of the
+  //   word land in ONE group;
+  // - dotless ı U+0131: never folds to i in either engine — the one edge
+  //   class BOTH engines agree on (pinned cross-engine in the degenerate
+  //   part corpus rows 13/14).
+  test("fn_collation UTF8_LCASE edges: İ, ß/SS split, final-sigma merge, dotless ı") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_coll_edge")
+    try {
+      val brands = Seq("İst#1", "ıssiz#2", "Straße#3", "ΟΔΟΣ#4", "οδος#4", "οδοσ#4")
+      brands.zipWithIndex.map { case (b, i) =>
+        (i.toLong, s"name$i", b, "t", i, i.toDouble)
+      }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .coalesce(1).write.parquet(s"$dir/part.parquet")
+      val got = SparkEntry.queries("fn_collation")(spark, dir.toString)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map(
+        "i\u0307st#1" -> 3L,     // İst + lower + upper all fold together
+        "issiz#2" -> 1L,         // upper('ıssiz') = ISSIZ folds to issiz, NOT back to ı
+        "\u0131ssiz#2" -> 2L,    // original + lower keep the dotless ı
+        "strasse#3" -> 1L,       // upper('Straße') = STRASSE stays apart from ß
+        "stra\u00dfe#3" -> 2L,
+        "\u03bf\u03b4\u03bf\u03c2#4" -> 9L), // σ = ς under UTF8_LCASE: every casing merges (final-ς label)
+        s"got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // The fn_string dialect guard NULLs `lev` on non-ASCII args because
+  // DuckDB's levenshtein counts BYTES there (8 for 'ıssiz#9' vs 't u');
+  // Spark's code-point distance is the semantics this library claims —
+  // pin it here since the cross-engine gate deliberately can't.
+  test("levenshtein is code-point based: 'ıssiz#9' vs 't u' is 7, not 8 bytes") {
+    import spark.implicits._
+    val r = Seq(("ıssiz#9", "t u")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().head.getInt(0)
+    assert(r == 7, s"expected code-point distance 7, got $r")
+  }
+
   test("agg_skew_kurt matches the builtin skewness/kurtosis to 1e-6") {
     val ours = q("agg_skew_kurt")
       .select("l_returnflag", "skew_qty", "kurt_qty").collect()

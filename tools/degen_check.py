@@ -265,6 +265,16 @@ def write_part(sfdir: str) -> None:
         (10, "chartreuse lemon powder puff", "Brand#23", "MEDIUM POLISHED", 9, 10.0),
         (11, "neg size", "Brand#11", "w", -1, 11.0),   # negative index: from-the-end
         (12, "neg two", "Brand#12", "w w", -2, 12.0),
+        # Dotless ı (U+0131): the ONE locale-sensitive case class both
+        # engines agree on (ı never folds to i; upper('ı') = I in both),
+        # so it can be pinned cross-engine: fn_collation must keep the
+        # ı-group apart from the ISSIZ→issiz group while the pre-upper
+        # row 14 merges with row 13's upper fan-out. The diverging
+        # classes (İ SpecialCasing, ß→SS vs U+1E9E, final sigma) are
+        # pinned Spark-side in Round3Spec instead — Spark/ICU and
+        # DuckDB/utf8proc genuinely disagree there (measured r11).
+        (13, "turkish brand", "ıssiz#9", "t u", 10, 13.0),
+        (14, "turkish upper", "ISSIZ#9", "t u", 11, 14.0),
     ]
     t = pa.table({
         "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
@@ -384,6 +394,14 @@ UNI_ROWS = [
     (10, "the quick brown fox", "en", "web"),
     (11, "HÉLLO WÖRLD DÉJÀ VU", "en", "web"),     # case-folding dup of 1
     (12, "𝄞", "fr", "web"),                        # single astral char
+    # Dotless ı: NOT a case dup of its ASCII-I uppercase under either
+    # engine's lower() (lower('I') = i ≠ ı) — pins that neither engine
+    # false-merges the Turkish pair. İ/ß/final-sigma stay OUT of
+    # cross-engine corpora: Spark (ICU SpecialCasing, context-aware
+    # sigma) and DuckDB (utf8proc per-codepoint) genuinely diverge —
+    # measured r11, pinned Spark-side in Round3Spec.
+    (13, "ıssız kıyı yazı", "de", "web"),
+    (14, "ISSIZ KIYI YAZI", "en", "web"),
 ]
 
 
