@@ -234,9 +234,12 @@ object Bench {
       val mn = ss.min
       pins.get(k) match {
         case Some((_, bandMax)) if mn >= 0 && mn > flagAt(bandMax) =>
-          rerun += k
+          // Count a rerun ONLY when the extra sample actually landed: a
+          // failed re-measure attempt must not read as "re-measured and
+          // still over band" — the key stays in over_band with rerun
+          // unincremented, which is the truthful diagnosis (r11 review).
           val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
-          k -> (if (extra >= 0) ss :+ extra else ss)
+          if (extra >= 0) { rerun += k; k -> (ss :+ extra) } else k -> ss
         case _ => k -> ss
       }
     }

@@ -927,24 +927,31 @@ object Relational extends QueryModule {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
+          // Soundness gates count NON-NULL VALUES per measure, not rows:
+          // sketches and percentiles both skip NULLs, so a 60-row group
+          // with 2 non-null quantities is a 2-value sample — the rank-±1%
+          // bracket derivation needs ≥ 52 VALUES (r11 review find; the
+          // r10 `n < 52` row gate was unsound on mostly-NULL groups).
+          count(col("l_quantity")).as("nq"),
+          count(col("l_extendedprice")).as("np"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq50"),
           expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("aq99"),
           expr("percentile(l_quantity, array(0.49D, 0.51D))").as("bq"),
           expr("percentile(l_extendedprice, array(0.98D, 0.995D))").as("bp"))
         .select(col("l_returnflag"), col("n"),
-          // `n < 52 ||`: the interpolated rank-±1% bracket is only a
-          // sound bound for n ≥ 52 (see the derivation above) — on
-          // smaller groups the verdict claims nothing rather than
-          // asserting an unsound bound (degenerate-universe corpus:
-          // 3-row groups legitimately landed outside the bracket).
-          // `.isNull ||`: a group whose measured column is ALL NULL
-          // (n counts rows, not values) sketches to NULL — the verdict
-          // again claims nothing instead of going NULL itself, keeping
-          // parity with the oracle's literal TRUE (round-10 ADVICE).
-          (col("n") < 52 || col("aq50").isNull
+          // `nq < 52 ||`: the interpolated rank-±1% bracket is only a
+          // sound bound for ≥ 52 non-null values (see the derivation
+          // above) — on smaller samples the verdict claims nothing
+          // rather than asserting an unsound bound (degenerate-universe
+          // corpus: 3-row groups legitimately landed outside the
+          // bracket). `.isNull ||`: an all-NULL measure sketches to NULL
+          // — the verdict again claims nothing instead of going NULL
+          // itself, keeping parity with the oracle's literal TRUE
+          // (round-10 ADVICE). nq/np are gate inputs only, not emitted.
+          (col("nq") < 52 || col("aq50").isNull
             || (col("aq50") >= element_at(col("bq"), 1)
             && col("aq50") <= element_at(col("bq"), 2))).as("q50_in_rank_tol"),
-          (col("n") < 52 || col("aq99").isNull
+          (col("np") < 52 || col("aq99").isNull
             || (col("aq99") >= element_at(col("bp"), 1)
             && col("aq99") <= element_at(col("bp"), 2))).as("q99_in_rank_tol"))
     }),

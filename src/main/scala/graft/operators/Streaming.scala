@@ -276,8 +276,11 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Explicit schema on the read-back (r11 review): a zero-row
+        // corpus leaves `out` with no parquet footer to infer from; the
+        // correct answer is the empty aggregate, not an inference error.
+        s.read.schema(agg.schema).parquet(out)
       } finally { rmr(java.nio.file.Paths.get(ckpt)); rmr(in) } }
-      s.read.parquet(out)
     }),
 
     // Watermark late-data semantics, driver-checked: the events table is
@@ -475,7 +478,7 @@ object Streaming extends QueryModule {
           }
         }
         val sch = s.read.parquet(s"$in/0_h1.parquet").schema
-        val q = s.readStream.schema(sch)
+        val emitted = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
           .select(col("event_type"),
@@ -489,7 +492,7 @@ object Streaming extends QueryModule {
           .groupByKey(_._1)
           .transformWithState(new Totals, TimeMode.None(), OutputMode.Update())
           .toDF("event_type", "n", "total_cents")
-          .writeStream
+        val q = emitted.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           // Idempotent upsert: each batch dynamically overwrites ONLY the
@@ -504,8 +507,12 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Explicit schema (r11 review): with a zero-row corpus no batch
+        // ever writes a partition, leaving nothing to infer from. The
+        // emission schema's event_type doubles as the partition column.
+        s.read.schema(emitted.schema).parquet(out)
+          .select(col("event_type"), col("n"), col("total_cents"))
       } finally rmr(java.nio.file.Paths.get(ckpt)) }
-      s.read.parquet(out).select(col("event_type"), col("n"), col("total_cents"))
     }),
 
     // Stream-stream interval join, driver-checked: the purchase and click
@@ -600,13 +607,13 @@ object Streaming extends QueryModule {
           stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
         }
         val sch = s.read.parquet(s"$in/0_h1.parquet").schema
-        val q = s.readStream.schema(sch)
+        val emitted = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
           .groupBy(col("event_type").as("file"),
             day(col("ts")).as("date"))
           .agg(count(lit(1)).as("count"))
-          .writeStream
+        val q = emitted.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -618,11 +625,15 @@ object Streaming extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Query the upserted counts table through the reference API.
+        // Explicit schema (r11 review): a zero-row corpus writes no
+        // partitions, and the API must answer empty off an empty table
+        // instead of failing schema inference.
+        val pc = new graft.api.Playcounts(
+          s.read.schema(emitted.schema).parquet(out))
+        pc.dateCount("view", java.sql.Date.valueOf("2024-01-20"))
+          .unionByName(pc.dateCount("click", java.sql.Date.valueOf("2024-01-05")))
       } finally rmr(java.nio.file.Paths.get(ckpt)) }
-      // Query the upserted counts table through the reference API.
-      val pc = new graft.api.Playcounts(s.read.parquet(out))
-      pc.dateCount("view", java.sql.Date.valueOf("2024-01-20"))
-        .unionByName(pc.dateCount("click", java.sql.Date.valueOf("2024-01-05")))
     }),
 
     // Per-user session windows, 5-minute gap. Session end = last event +
