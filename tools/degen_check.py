@@ -211,6 +211,15 @@ def write_events_single(sfdir: str) -> None:
                       [(0, "2024-01-12 10:00:00", 1, "view", 5.0, '{"k": 1}')])
 
 
+def write_events_empty(sfdir: str) -> None:
+    """ZERO-ROW events table — the day-with-no-dumps operational case.
+    Every staged arrival file is empty, the watermark never advances,
+    every sink emits nothing, and every read-back must answer the empty
+    aggregate (this is what the r11 explicit-schema read-backs exist
+    for); the oracles' GROUP BYs / HAVING gates all yield zero rows."""
+    _write_event_rows(sfdir, [])
+
+
 def write_events_alllate(sfdir: str) -> None:
     """All-late arrival set: every event precedes stream_late_drop's Jan-5
     'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
@@ -499,7 +508,8 @@ def main() -> None:
         for label, d, w in (
                 ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
                 ("stream_single", "/tmp/degen_s_single", write_events_single),
-                ("stream_alllate", "/tmp/degen_s_late", write_events_alllate)):
+                ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
+                ("stream_zero", "/tmp/degen_s_zero", write_events_empty)):
             os.makedirs(d, exist_ok=True)
             w(d)
             oks.append(run_family(label, d, STREAM_KEYS))
@@ -541,8 +551,9 @@ def main() -> None:
     ok_se = run_family("stream_empty", "/tmp/degen_s_empty", STREAM_KEYS)
     ok_ss = run_family("stream_single", "/tmp/degen_s_single", STREAM_KEYS)
     ok_sl = run_family("stream_alllate", "/tmp/degen_s_late", STREAM_KEYS)
+    ok_sz = run_family("stream_zero", "/tmp/degen_s_zero", STREAM_KEYS)
     sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni
-             and ok_se and ok_ss and ok_sl else 1)
+             and ok_se and ok_ss and ok_sl and ok_sz else 1)
 
 
 if __name__ == "__main__":
