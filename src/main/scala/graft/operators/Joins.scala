@@ -240,7 +240,10 @@ object Joins extends QueryModule {
       // the 4-ary arithmetic tree from roots {1,2,3} to key k is
       // ⌈log₄ k⌉; +1 spare round lets the loop OBSERVE the empty frontier
       // so the require below never fires on a complete closure.
-      val maxKey = edges.agg(max(col("child"))).head.getLong(0)
+      // max over an EMPTY edge dim is NULL — getLong would throw where
+      // the correct closure is just the roots (all-empty probe, r11).
+      val maxKey = Option(edges.agg(max(col("child"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val maxRounds =
         math.ceil(math.log(math.max(maxKey, 4).toDouble) / math.log(4)).toInt + 1
       var round = 0

@@ -37,14 +37,20 @@ object Relational extends QueryModule {
     * dir root is underscore-prefixed, so the parquet file index ignores
     * it like `_SUCCESS`.
     */
-  private def eventsByDay(s: SparkSession, d: String): String = {
+  private def eventsByDay(s: SparkSession, d: String): DataFrame = {
     val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/tmp/graft_events_by_day_$tag"
+    val staged = events(s, d).withColumn("day", to_date(col("ts")))
     Streaming.ensureStaged(s, d, path) {
-      events(s, d).withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
+      staged.write.mode("overwrite").partitionBy("day").parquet(path)
     }
-    path
+    // Explicit schema on the read-back: an EMPTY source stages zero day
+    // partitions — only the _STAGED marker — and bare inference throws
+    // where the correct answer is the empty table (all-empty probe,
+    // r11). Partition discovery (and so PartitionFilters/DPP) is
+    // directory-driven and unaffected; `day` sits last, exactly where
+    // partition columns land under inference.
+    s.read.schema(staged.schema).parquet(path)
   }
 
   private def powerSums(x: String) = Seq(
@@ -1060,7 +1066,7 @@ object Relational extends QueryModule {
     // listed, let alone read. The partitioned copy is written once per sf
     // into /tmp and reused; the oracle aggregates the raw table.
     "scan_partition_pruned" -> ((s, d) => {
-      s.read.parquet(eventsByDay(s, d))
+      eventsByDay(s, d)
         .filter(col("day").between(lit(java.sql.Date.valueOf("2024-01-05")),
           lit(java.sql.Date.valueOf("2024-01-09"))))
         .groupBy(col("day"), col("event_type"))
@@ -1077,13 +1083,13 @@ object Relational extends QueryModule {
     // read. reuseBroadcastOnly (default) makes the pruning subquery free:
     // it reuses the join's own broadcast.
     "scan_dpp" -> ((s, d) => {
-      val path = eventsByDay(s, d)
+      val fact = eventsByDay(s, d)
       val dim = events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_day"))
         .filter(col("n_day") % 2 === 1)
         .select(col("day"))
-      s.read.parquet(path)
+      fact
         .join(broadcast(dim), Seq("day"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total"))
@@ -1159,13 +1165,21 @@ object Relational extends QueryModule {
       FROM events GROUP BY 1, 2 ORDER BY day, event_type
     """,
 
+    // HAVING count(*) > 0 on the ROLLUP/CUBE/GROUPING SETS oracles (and
+    // the per-table metadata counts): Spark implements grouping sets via
+    // Expand over INPUT ROWS, so zero input rows yield zero groups, while
+    // DuckDB follows the SQL standard and emits the () grand-total group
+    // (count 0) even on empty input. Any group formed from actual rows
+    // has count(*) >= 1, so the gate is a no-op on non-empty input and
+    // pure dialect alignment on empty (all-empty probe, r11).
     "agg_range_total" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(*) AS n, round(sum(value), 4) AS total
       FROM events
       WHERE event_type = 'view'
         AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
-      GROUP BY ROLLUP(1) ORDER BY day NULLS FIRST
+      GROUP BY ROLLUP(1) HAVING count(*) > 0
+      ORDER BY day NULLS FIRST
     """,
 
     "agg_distinct_users" -> """
@@ -1217,8 +1231,10 @@ object Relational extends QueryModule {
 
     "scan_file_metadata" -> """
       SELECT 'lineitem.parquet' AS fname, count(*) AS n_rows FROM lineitem
+      HAVING count(*) > 0
       UNION ALL
       SELECT 'orders.parquet' AS fname, count(*) AS n_rows FROM orders
+      HAVING count(*) > 0
       ORDER BY fname
     """,
 
@@ -1424,6 +1440,7 @@ object Relational extends QueryModule {
              round(sum(l_quantity), 4) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      HAVING count(*) > 0
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 
@@ -1431,6 +1448,7 @@ object Relational extends QueryModule {
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
              round(sum(o_totalprice), 2) AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      HAVING count(*) > 0
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 
@@ -1438,6 +1456,7 @@ object Relational extends QueryModule {
       SELECT o_orderstatus, o_orderpriority, count(*) AS n
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      HAVING count(*) > 0
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 

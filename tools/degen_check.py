@@ -470,6 +470,20 @@ def inject_nulls(sfdir: str) -> None:
     mask(f"{sfdir}/part.parquet", "p_retailprice", [5])
 
 
+def truncate_all(sfdir: str) -> None:
+    """Rewrite every table in `sfdir` as ZERO ROWS with its schema kept —
+    the all-empty universe (r11): a warehouse directory that exists but
+    has no data yet. Found three crash classes on first run (staged
+    day-partition read-back inference, closure max() head on NULL) and
+    the grouping-sets grand-total dialect gap (Spark Expand emits no ()
+    group over zero rows; DuckDB follows the standard — oracles gate on
+    HAVING count(*) > 0, a no-op on non-empty input)."""
+    import glob as _glob
+    for f in _glob.glob(f"{sfdir}/*.parquet"):
+        t = pq.read_table(f)
+        pq.write_table(t.slice(0, 0), f)
+
+
 def run_family(label: str, sfdir: str, keys: str | None) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
@@ -527,6 +541,8 @@ def main() -> None:
         write_tpch(d)
         if len(sys.argv) > 2 and sys.argv[2] == "nulls":
             inject_nulls(d)
+        if len(sys.argv) > 2 and sys.argv[2] == "empty":
+            truncate_all(d)
         sys.exit(0 if run_family("all", d, None) else 1)
     for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb",
               "/tmp/degen_part"):
