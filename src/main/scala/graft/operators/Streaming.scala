@@ -261,7 +261,13 @@ object Streaming extends QueryModule {
         val agg = T.normalizeTs(s.readStream.schema(schema).parquet(in.toString))
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+            // try_cast, not cast: a single non-finite/overflow value (NaN,
+            // ±Inf, |v| ≳ 9.2e16 — every real 100 TB log has some) would
+            // otherwise kill the whole streaming job with CAST_OVERFLOW
+            // (measured, r11 dirty-values corpus). NULL cents skip the
+            // sum while the row still counts; the oracle's TRY_CAST
+            // agrees on every input class.
+            sum(expr("try_cast(round(value * 100) AS BIGINT)")).as("total_cents"))
           .select(col("w.start").cast("date").as("day"), col("event_type"),
             col("n"), col("total_cents"))
         val q = agg.writeStream
@@ -339,7 +345,13 @@ object Streaming extends QueryModule {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+            // try_cast, not cast: a single non-finite/overflow value (NaN,
+            // ±Inf, |v| ≳ 9.2e16 — every real 100 TB log has some) would
+            // otherwise kill the whole streaming job with CAST_OVERFLOW
+            // (measured, r11 dirty-values corpus). NULL cents skip the
+            // sum while the row still counts; the oracle's TRY_CAST
+            // agrees on every input class.
+            sum(expr("try_cast(round(value * 100) AS BIGINT)")).as("total_cents"))
           .select(col("w.start").cast("date").as("day"), col("event_type"),
             col("n"), col("total_cents"))
         val q = emitted.writeStream
@@ -426,7 +438,13 @@ object Streaming extends QueryModule {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("event_id")).as("n_ids"),
-            sum(round(col("value") * 100).cast("long")).as("total_cents"))
+            // try_cast, not cast: a single non-finite/overflow value (NaN,
+            // ±Inf, |v| ≳ 9.2e16 — every real 100 TB log has some) would
+            // otherwise kill the whole streaming job with CAST_OVERFLOW
+            // (measured, r11 dirty-values corpus). NULL cents skip the
+            // sum while the row still counts; the oracle's TRY_CAST
+            // agrees on every input class.
+            sum(expr("try_cast(round(value * 100) AS BIGINT)")).as("total_cents"))
       } finally rmr(java.nio.file.Paths.get(ckpt)) }
     }),
 
@@ -487,7 +505,11 @@ object Streaming extends QueryModule {
             // count(*) computes. The bare cast NPE'd the typed encoder
             // (NOT_NULL_ASSERT_VIOLATION on Tuple2._2) — one NULL row
             // killed the stream (NULL-injection universe find).
-            coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+            // try_cast inside the coalesce: NULL *or* non-finite/overflow
+            // values add 0 cents while still counting (r11 dirty-values
+            // corpus: the bare ANSI cast killed the stream on one 1e300
+            // row) — identical to the oracle's count(*) + sum-skips-NULL.
+            coalesce(expr("try_cast(round(value * 100) AS BIGINT)"), lit(0L)).as("cents"))
           .as[(String, Long)]
           .groupByKey(_._1)
           .transformWithState(new Totals, TimeMode.None(), OutputMode.Update())
@@ -679,7 +701,7 @@ object Streaming extends QueryModule {
     "stream_dedup" -> """
       SELECT event_type, count(*) AS n,
              count(DISTINCT event_id) AS n_ids,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY event_type ORDER BY event_type
     """,
 
@@ -706,10 +728,15 @@ object Streaming extends QueryModule {
     """,
 
     // The transformWithState running totals must equal the plain batch
-    // aggregate after the last micro-batch's upsert.
+    // aggregate after the last micro-batch's upsert. coalesce(sum, 0):
+    // the typed state accumulates 0 cents per dirty/NULL row (a running
+    // total is never NULL), so a group whose values are ALL dirty reads
+    // 0 — the oracle's bare sum over all-NULL would read NULL
+    // (stream_dirty corpus, r11).
     "stream_stateful_totals" -> """
       SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             CAST(coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS total_cents
       FROM events GROUP BY event_type ORDER BY event_type
     """,
 
@@ -731,7 +758,7 @@ object Streaming extends QueryModule {
     "stream_batch_equiv" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events GROUP BY 1, 2 ORDER BY day, event_type
     """,
 
@@ -748,7 +775,7 @@ object Streaming extends QueryModule {
       g AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                count(*) AS n,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM kept GROUP BY 1, 2)
       SELECT day, event_type, n, total_cents
       FROM g, wm

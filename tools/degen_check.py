@@ -220,6 +220,28 @@ def write_events_empty(sfdir: str) -> None:
     _write_event_rows(sfdir, [])
 
 
+def write_events_dirty(sfdir: str) -> None:
+    """Non-finite / overflow values mixed into a normal day: NaN, ±Inf,
+    ±1e300 (cents cast overflows), 1e-300. The cents keys must TOLERATE
+    these (try_cast → NULL cents, row still counts — one dirty row must
+    not kill a 100 TB job: the bare ANSI cast did, measured r11), and
+    the double-sum keys propagate NaN/Inf identically in both engines.
+    win_range_numeric and the lineitem-cents batch keys are NOT run over
+    this corpus — their value domain is part of the query contract
+    (documented at the keys); this family pins the STREAMING ingest
+    surface, which is where arbitrary raw logs enter."""
+    _write_event_rows(sfdir, [
+        (0, "2024-01-10 10:00:00", 1, "view", 5.0, '{"k": 1}'),
+        (1, "2024-01-10 11:00:00", 1, "click", 1e300, '{"k": 1}'),
+        (2, "2024-01-10 12:00:00", 2, "view", float("nan"), '{"k": 1}'),
+        (3, "2024-01-10 13:00:00", 2, "purchase", float("inf"), '{"k": 1}'),
+        (4, "2024-01-10 14:00:00", 3, "error", -1e300, '{"k": 1}'),
+        (5, "2024-01-10 15:00:00", 3, "view", 1e-300, '{"k": 1}'),
+        (6, "2024-01-11 09:00:00", 1, "click", 2.5, '{"k": 1}'),
+        (7, "2024-01-11 09:02:00", 1, "purchase", 7.5, '{"k": 1}'),
+    ])
+
+
 def write_events_alllate(sfdir: str) -> None:
     """All-late arrival set: every event precedes stream_late_drop's Jan-5
     'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
@@ -523,7 +545,8 @@ def main() -> None:
                 ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
                 ("stream_single", "/tmp/degen_s_single", write_events_single),
                 ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
-                ("stream_zero", "/tmp/degen_s_zero", write_events_empty)):
+                ("stream_zero", "/tmp/degen_s_zero", write_events_empty),
+                ("stream_dirty", "/tmp/degen_s_dirty", write_events_dirty)):
             os.makedirs(d, exist_ok=True)
             w(d)
             oks.append(run_family(label, d, STREAM_KEYS))
@@ -568,8 +591,11 @@ def main() -> None:
     ok_ss = run_family("stream_single", "/tmp/degen_s_single", STREAM_KEYS)
     ok_sl = run_family("stream_alllate", "/tmp/degen_s_late", STREAM_KEYS)
     ok_sz = run_family("stream_zero", "/tmp/degen_s_zero", STREAM_KEYS)
+    os.makedirs("/tmp/degen_s_dirty", exist_ok=True)
+    write_events_dirty("/tmp/degen_s_dirty")
+    ok_sd = run_family("stream_dirty", "/tmp/degen_s_dirty", STREAM_KEYS)
     sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni
-             and ok_se and ok_ss and ok_sl and ok_sz else 1)
+             and ok_se and ok_ss and ok_sl and ok_sz and ok_sd else 1)
 
 
 if __name__ == "__main__":
