@@ -82,6 +82,12 @@ STREAM_KEYS = ",".join([
     "stream_stateful_totals", "stream_stream_join", "pipeline_daily_e2e",
 ])
 
+# ONE corpus list shared by `stream` mode and the default full gate —
+# the two paths previously drifted: the default path ran stream_zero
+# against a dir only `stream` mode ever created (r11 review find).
+# Populated below once the writer functions are defined.
+STREAM_CORPORA = []
+
 EVENT_KEYS = ",".join([
     "agg_daily_counts", "agg_range_total", "agg_distinct_users",
     "agg_multi_distinct", "agg_funnel_steps", "agg_retention_cohort",
@@ -257,6 +263,15 @@ def write_events_alllate(sfdir: str) -> None:
         (4, "2024-01-03 10:30:00", 2, "purchase", 20.0, '{"k": 3}'),
         (5, "2024-01-03 11:00:00", 3, "view", 3.0, '{"k": 1}'),
     ])
+
+
+STREAM_CORPORA.extend([
+    ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
+    ("stream_single", "/tmp/degen_s_single", write_events_single),
+    ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
+    ("stream_zero", "/tmp/degen_s_zero", write_events_empty),
+    ("stream_dirty", "/tmp/degen_s_dirty", write_events_dirty),
+])
 
 
 def write_embeddings(sfdir: str) -> None:
@@ -541,12 +556,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "stream":
         # Streaming-degenerate families only (fast iteration path).
         oks = []
-        for label, d, w in (
-                ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
-                ("stream_single", "/tmp/degen_s_single", write_events_single),
-                ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
-                ("stream_zero", "/tmp/degen_s_zero", write_events_empty),
-                ("stream_dirty", "/tmp/degen_s_dirty", write_events_dirty)):
+        for label, d, w in STREAM_CORPORA:
             os.makedirs(d, exist_ok=True)
             w(d)
             oks.append(run_family(label, d, STREAM_KEYS))
@@ -577,25 +587,18 @@ def main() -> None:
     write_part("/tmp/degen_part")
     os.makedirs("/tmp/degen_uni", exist_ok=True)
     write_unicode_documents("/tmp/degen_uni")
-    for d, w in (("/tmp/degen_s_empty", write_events_emptybatch),
-                 ("/tmp/degen_s_single", write_events_single),
-                 ("/tmp/degen_s_late", write_events_alllate)):
-        os.makedirs(d, exist_ok=True)
-        w(d)
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    ok_se = run_family("stream_empty", "/tmp/degen_s_empty", STREAM_KEYS)
-    ok_ss = run_family("stream_single", "/tmp/degen_s_single", STREAM_KEYS)
-    ok_sl = run_family("stream_alllate", "/tmp/degen_s_late", STREAM_KEYS)
-    ok_sz = run_family("stream_zero", "/tmp/degen_s_zero", STREAM_KEYS)
-    os.makedirs("/tmp/degen_s_dirty", exist_ok=True)
-    write_events_dirty("/tmp/degen_s_dirty")
-    ok_sd = run_family("stream_dirty", "/tmp/degen_s_dirty", STREAM_KEYS)
+    oks = []
+    for label, d, w in STREAM_CORPORA:
+        os.makedirs(d, exist_ok=True)
+        w(d)
+        oks.append(run_family(label, d, STREAM_KEYS))
     sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni
-             and ok_se and ok_ss and ok_sl and ok_sz and ok_sd else 1)
+             and all(oks) else 1)
 
 
 if __name__ == "__main__":
