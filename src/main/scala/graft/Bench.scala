@@ -183,26 +183,25 @@ object Bench {
       // A failed query reports -1 (never a bogus near-zero timing).
       try {
         val acc = acceptAt.get(name)
-        // The six checkpointed streaming keys cap at TWO samples (r9
-        // verdict task 2): each retry re-pays a ~2 s start/stop constant
-        // (checkpoint init, offset/commit logs, state stores × micro-
-        // batches), so a third sample under sustained contention buys
-        // ~nothing statistically while adding ~12 s of exposure window —
-        // exactly the amplifier that blew the r9 driver sample to 2.2×.
-        // Batch keys keep min-of-3. Pinning runs (early-accept disabled
-        // via SPARK_GRAFT_EARLY_ACCEPT=0) keep pure min-of-3 everywhere
-        // so pinned medians stay comparable across rounds.
-        // The 2-sample cap applies ONLY when the key has an acceptance
-        // envelope: with no pinned baseline (fresh checkout, different
-        // sf, format drift) a bare min-of-2 would re-open the r5 ±2–4×
-        // single-key swing class — unpinned keys keep plain min-of-3
-        // exactly as the acceptAt comment promises (review r10).
-        val cap =
-          if (streamingKeys(name) && acc.isDefined &&
-              sys.env.getOrElse("SPARK_GRAFT_EARLY_ACCEPT", "1") == "1") 2
-          else 3
+        // Min-of-3 with early-accept for EVERY key. The r9–r11 bench
+        // capped the six checkpointed streaming keys at TWO samples
+        // (each retry re-pays a ~2 s start/stop constant) — but that
+        // reported a 2-draw min against a band pinned from min-of-3
+        // runs, a stats asymmetry the r11 ADVICE flagged: a streaming
+        // key whose two draws both land out-of-band was judged from
+        // less evidence than the band it was judged against. r12
+        // (verdict task 2): such a key takes the one extra confirming
+        // sample, which is exactly what cap=3 + early-accept already
+        // does — the 3rd sample runs ONLY when two draws exceeded the
+        // envelope, so healthy-run wall-clock is unchanged (in-band
+        // keys still stop at sample 1), and the sustained-contention
+        // exposure the 2-cap guarded against is now owned by the
+        // delayed rerun2 pass below marking unrecovered keys contended.
+        // Pinning runs (SPARK_GRAFT_EARLY_ACCEPT=0, set by
+        // tools/bench_baseline.py) keep pure min-of-3 so pinned medians
+        // stay comparable across rounds.
         val buf = scala.collection.mutable.ArrayBuffer[Double](once())
-        while (buf.length < cap && !acc.exists(a => buf.min <= a)) buf += once()
+        while (buf.length < 3 && !acc.exists(a => buf.min <= a)) buf += once()
         name -> buf.toSeq
       } catch { case _: Throwable => name -> Seq(-1.0) }
     }
@@ -229,26 +228,60 @@ object Bench {
     // against. Failed keys (-1 sentinel) are never retried here — a
     // deterministic failure would just fail again and mask nothing.
     def flagAt(bandMax: Double): Double = math.max(bandMax * 1.5, bandMax + 0.30)
-    val rerun = scala.collection.mutable.ArrayBuffer.empty[String]
-    val samples2 = samples.map { case (k, ss) =>
-      val mn = ss.min
-      pins.get(k) match {
-        case Some((_, bandMax)) if mn >= 0 && mn > flagAt(bandMax) =>
-          // Count a rerun ONLY when the extra sample actually landed: a
-          // failed re-measure attempt must not read as "re-measured and
-          // still over band" — the key stays in over_band with rerun
-          // unincremented, which is the truthful diagnosis (r11 review).
-          val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
-          if (extra >= 0) { rerun += k; k -> (ss :+ extra) } else k -> ss
-        case _ => k -> ss
+    // Re-measure samples live in SEPARATE maps, never appended to the
+    // sweep's `samples` (r11 ADVICE): a median-consuming reader of
+    // bench_full.json (e.g. a manual re-pin from a normal run) must not
+    // silently average in contention-biased extras. The reported per-key
+    // `min` DOES take the better number — that is the pass's whole point.
+    val rerun1 = scala.collection.mutable.Map.empty[String, Double]
+    val rerun2 = scala.collection.mutable.Map.empty[String, Double]
+    def bestOf(k: String, ss: Seq[Double]): Double =
+      (ss ++ rerun1.get(k) ++ rerun2.get(k)).min
+    def overFlag(k: String, ss: Seq[Double]): Boolean = {
+      val mn = bestOf(k, ss)
+      mn >= 0 && pins.get(k).exists { case (_, bandMax) => mn > flagAt(bandMax) }
+    }
+    // Pass 1 — immediately after the full sweep (minutes separate the
+    // two windows for early keys). Count a rerun ONLY when the extra
+    // sample actually landed: a failed re-measure attempt must not read
+    // as "re-measured and still over band" — the key stays in over_band
+    // with rerun unincremented, the truthful diagnosis (r11 review).
+    // Failed keys (-1 sentinel) are never retried — a deterministic
+    // failure would just fail again and mask nothing.
+    samples.foreach { case (k, ss) =>
+      if (overFlag(k, ss)) {
+        val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+        if (extra >= 0) rerun1(k) = extra
       }
     }
-    val results = samples2.map { case (k, ss) => k -> ss.min }.toMap
-    // Keys STILL over the flag threshold after the re-measure: the
-    // stdout line's self-diagnosis (r10 verdict task 2). over_band>0 with
-    // rerun>0 reads "contention outlasted both windows or a real
-    // regression — check bench_full.json"; over_band=0 with rerun>0 reads
-    // "burst caught and corrected".
+    // Pass 2 — DELAYED (r11 verdict task 1): a contention burst that
+    // spans sweep AND pass 1 still reports an inflated number
+    // indistinguishable from a regression (the failure mode that cost
+    // rounds 8–10 an adjudication each; the r11 single-pass rehearsal
+    // corrected 9/9 only because its 120 s burst had ended). For keys
+    // STILL over the flag threshold, back off long enough for a
+    // bench-length burst to drain, then re-measure once more. Healthy
+    // runs never enter this branch, so the delay costs zero; a key
+    // still over after BOTH temporally-separated passes is explicitly
+    // marked `contended` in bench_full.json — "outlasted two windows:
+    // sustained load or a real regression; adjudicate with an isolated
+    // 3-JVM re-run (tools/bench_baseline.py 3 key1,...)".
+    val stillOver = samples.filter { case (k, ss) => overFlag(k, ss) }
+    if (stillOver.nonEmpty) {
+      val delayMs = sys.env.getOrElse("SPARK_GRAFT_RERUN2_DELAY_SEC", "60").toLong * 1000L
+      Thread.sleep(delayMs)
+      stillOver.foreach { case (k, _) =>
+        val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+        if (extra >= 0) rerun2(k) = extra
+      }
+    }
+    val results = samples.map { case (k, ss) => k -> bestOf(k, ss) }.toMap
+    // Keys STILL over the flag threshold after both passes: the stdout
+    // line's self-diagnosis (r10 verdict task 2 / r11 task 1).
+    // over_band>0 with rerun2>0 reads "contention outlasted the delayed
+    // window too, or a real regression — check bench_full.json's
+    // contended keys"; over_band=0 with rerun>0 reads "burst caught and
+    // corrected".
     val overBand = results.count { case (k, v) =>
       v >= 0 && pins.get(k).exists { case (_, bandMax) => v > flagAt(bandMax) }
     }
@@ -259,10 +292,10 @@ object Bench {
     // ~1900 chars NO MATTER how many keys the inventory grows to: emit
     // the slowest keys (the informative ones) until the char budget is
     // spent, and fold the remaining fast keys into a count + summed
-    // seconds. Budget 1670 (r9 verdict task 5 raised it to 1700; r11's
-    // over_band/rerun fields add ~30 chars of fixed overhead, so trim the
-    // key budget by the same amount — fixed overhead is now ~150 chars,
-    // keeping the line ≤ ~1850). Full per-key numbers live in
+    // seconds. Budget 1655 (r9 verdict task 5 raised it to 1700; r11's
+    // over_band/rerun fields and r12's rerun2 add ~45 chars of fixed
+    // overhead, so trim the key budget by the same amount — fixed
+    // overhead is now ~165 chars, line ≤ ~1850). Full per-key numbers live in
     // bench_full.json / BASELINE.md.
     def f(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.values.filter(_ >= 0).sum
@@ -276,7 +309,7 @@ object Bench {
       val rest = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       sorted.foreach { case (k, v) =>
         val cost = k.length + f(v).length + 4
-        if (used + cost <= 1670) { keep += ((k, v)); used += cost }
+        if (used + cost <= 1655) { keep += ((k, v)); used += cost }
         else rest += ((k, v))
       }
       (keep, rest)
@@ -290,9 +323,15 @@ object Bench {
     // (VERDICT r7 task 2 / r8 task 2). tools/bench_baseline.py consumes
     // this to pin per-key medians in BASELINE.md.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
-    val keyJson = samples2.sortBy(_._1).map { case (k, ss) =>
-      val rr = if (rerun.contains(k)) """, "rerun": true""" else ""
-      s"""    "$k": {"samples": [${ss.map(f).mkString(", ")}], "min": ${f(ss.min)}$rr}"""
+    // `samples` carries ONLY the sweep's draws; re-measure extras go in
+    // rerun_samples/rerun2_samples so median consumers can't absorb them
+    // by accident (r11 ADVICE). `min` is the best across all of them —
+    // the number the driver and bench_compare judge.
+    val keyJson = samples.sortBy(_._1).map { case (k, ss) =>
+      val rr1 = rerun1.get(k).map(v => s""", "rerun_samples": [${f(v)}]""").getOrElse("")
+      val rr2 = rerun2.get(k).map(v => s""", "rerun2_samples": [${f(v)}]""").getOrElse("")
+      val cont = if (overFlag(k, ss)) """, "contended": true""" else ""
+      s"""    "$k": {"samples": [${ss.map(f).mkString(", ")}], "min": ${f(bestOf(k, ss))}$rr1$rr2$cont}"""
     }.mkString(",\n")
     // `ckpt` reports where the streaming keys' ephemeral checkpoints
     // actually went (r9 verdict task 1: the freshCkptDir /dev/shm
@@ -300,8 +339,8 @@ object Bench {
     // field is the only way to know which regime a bench number is from).
     val ckptMode = if (ckptShm) "shm" else "tmp"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun.size},\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun.size}}""")
+      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun1.size},"rerun2":${rerun2.size}}""")
     spark.stop()
   }
 }

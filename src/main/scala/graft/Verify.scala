@@ -42,7 +42,22 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Append the ANSI query-context fragment when present (e.g.
+        // divide-by-zero carries the offending expression text; CAST
+        // overflow does NOT — Spark's castingCauseOverflowError takes no
+        // context, so those stay value-only: "The value NaN … cannot be
+        // cast", which is why tools/degen_check.py's batch_dirty family
+        // pins the column by probe construction instead). Exceptions can
+        // chain through a write-job wrapper, so walk the causes for the
+        // first SparkThrowable carrying context.
+        val ctx = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(8).collectFirst {
+            case st: org.apache.spark.SparkThrowable
+              if st.getQueryContext != null && st.getQueryContext.nonEmpty =>
+              st.getQueryContext.map(_.fragment()).filter(_ != null)
+                .filter(_.nonEmpty).distinct.mkString(" in: ", " | ", "")
+          }.getOrElse("")
+        System.err.println(s"[verify] $name failed: ${e.getMessage}$ctx")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

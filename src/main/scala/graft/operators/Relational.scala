@@ -122,6 +122,14 @@ object Relational extends QueryModule {
     * integer, so partial-sum order cannot perturb the rounded output;
     * the decimal→double conversions and divisions are single
     * deterministic IEEE ops identical in both engines.
+    *
+    * VALUE-DOMAIN CONTRACT (all lineitem-cents keys, incl. the stat
+    * aggs below): finite 2-decimal money with |v| < ~9.2e14 — the cents
+    * casts are BARE ANSI on purpose; TPC-H-shaped fact tables are
+    * curated data, unlike the raw-log streaming ingest (try_cast
+    * there). A breach is LOUD — one NaN/±Inf/overflow row kills the
+    * query with [CAST_OVERFLOW], never a silently-wrong sum — probed
+    * per dirty column by tools/degen_check.py batch_dirty.
     */
   private def tpchQ1Sql(table: String): String = s"""
     WITH b AS (

@@ -98,6 +98,12 @@ object Windows extends QueryModule {
 
     // Value-range frame over a NUMERIC order key (win_trailing_30d covers
     // time ranges): all purchases within 10.0 of this purchase's value.
+    // VALUE-DOMAIN CONTRACT: finite purchase values with |v| < ~9.2e16 —
+    // the cents bucketing keeps a BARE ANSI cast on purpose (this is
+    // curated fact data, not the raw-log ingest surface, which is where
+    // try_cast tolerance lives — see Streaming). A breach is LOUD, not
+    // silently wrong: one NaN/±Inf/overflow purchase kills the query
+    // with [CAST_OVERFLOW] (probed by tools/degen_check.py batch_dirty).
     // Peer rows are in-frame by definition, so ties are deterministic;
     // the banded sum runs over exact integer centi-values because
     // windowed double accumulation order differs per engine.

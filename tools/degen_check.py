@@ -26,7 +26,13 @@ its oracle's vschema column is fixture-shaped ('OBJECT<k: BIGINT>'),
 which arbitrary JSON can't satisfy; its malformed-input TOLERANCE
 (try_parse_json) is covered by the fixture gate staying green.
 
-Usage: python3 tools/degen_check.py
+Usage:
+  python3 tools/degen_check.py all        # THE post-change gate: every
+                                          # family below, one exit code
+  python3 tools/degen_check.py            # per-table + streaming families
+  python3 tools/degen_check.py stream     # streaming corpora only (fast)
+  python3 tools/degen_check.py universe [nulls|empty]
+  python3 tools/degen_check.py batch_dirty  # loud-failure contract probes
 """
 import datetime as dt
 import os, subprocess, sys
@@ -81,12 +87,6 @@ STREAM_KEYS = ",".join([
     "stream_batch_equiv", "stream_late_drop", "stream_dedup",
     "stream_stateful_totals", "stream_stream_join", "pipeline_daily_e2e",
 ])
-
-# ONE corpus list shared by `stream` mode and the default full gate —
-# the two paths previously drifted: the default path ran stream_zero
-# against a dir only `stream` mode ever created (r11 review find).
-# Populated below once the writer functions are defined.
-STREAM_CORPORA = []
 
 EVENT_KEYS = ",".join([
     "agg_daily_counts", "agg_range_total", "agg_distinct_users",
@@ -265,13 +265,20 @@ def write_events_alllate(sfdir: str) -> None:
     ])
 
 
-STREAM_CORPORA.extend([
+# ONE corpus list shared by `stream` mode and the default full gate —
+# the two paths previously drifted: the default path ran stream_zero
+# against a dir only `stream` mode ever created (r11 review find).
+# Defined HERE, directly below its writer functions, as a single
+# assignment (r11 ADVICE: the old empty-declaration + distant .extend
+# invited exactly the import-order drift this list exists to prevent);
+# main() additionally asserts the expected family count.
+STREAM_CORPORA = [
     ("stream_empty", "/tmp/degen_s_empty", write_events_emptybatch),
     ("stream_single", "/tmp/degen_s_single", write_events_single),
     ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
     ("stream_zero", "/tmp/degen_s_zero", write_events_empty),
     ("stream_dirty", "/tmp/degen_s_dirty", write_events_dirty),
-])
+]
 
 
 def write_embeddings(sfdir: str) -> None:
@@ -521,6 +528,98 @@ def truncate_all(sfdir: str) -> None:
         pq.write_table(t.slice(0, 0), f)
 
 
+# Batch value-domain contract probes (r12, VERDICT r11 task 3).
+#
+# win_range_numeric's cents bucketing and the lineitem-cents batch keys
+# deliberately keep BARE ANSI casts — finite, 2-decimal money values are
+# part of those queries' contract (TPC-H-shaped input), unlike the
+# streaming ingest surface where raw logs enter (stream_dirty family,
+# which pins try_cast TOLERANCE). That contract is defensible ONLY if a
+# breach is LOUD: one NaN/±Inf/1e300 row must kill the query with a
+# clear ANSI [CAST_OVERFLOW] (SQLSTATE 22003, "use try_cast" hint) —
+# never silently produce wrong numbers. Spark's cast-overflow error
+# carries the offending VALUE but no query context (measured r12:
+# castingCauseOverflowError takes no context parameter), so each probe
+# dirties exactly ONE column with a DISTINCT sentinel value and asserts
+# the sentinel appears in the failure line — the probe construction,
+# not the message, is what names the column.
+#
+# Keys per probe are the ones whose cast the dirty row provably
+# reaches: agg_corr_stats / agg_skew_kurt scan ALL of lineitem with no
+# predicate; sql_tpch_q1's shipdate span covers every fixture row; the
+# dirtied event row is a purchase (win_range_numeric's filter). The
+# remaining lineitem-cents SQL keys (q3/q5/q11/q17/q19…) share the
+# identical CAST(round(col*100) AS BIGINT) recipe behind join/filter
+# predicates, so the same error class covers a breach that reaches
+# them.
+BATCH_DIRTY_PROBES = [
+    # (table, column, row-idx, value, sentinel-in-message, keys)
+    ("events", "value", 1, float("nan"), "NaN", "win_range_numeric"),
+    ("lineitem", "l_extendedprice", 0, float("nan"), "NaN",
+     "sql_tpch_q1,agg_corr_stats"),
+    ("lineitem", "l_discount", 2, float("inf"), "Infinity",
+     "sql_tpch_q1,agg_corr_stats,agg_skew_kurt"),
+    # the cast sees round(value * 100), so 1e300 surfaces as 1.0E302
+    ("lineitem", "l_tax", 4, 1e300, "1.0E302",
+     "sql_tpch_q1,agg_corr_stats"),
+]
+
+
+def _inject_dirty(sfdir: str, table: str, col: str, idx: int, val: float) -> None:
+    path = f"{sfdir}/{table}.parquet"
+    t = pq.read_table(path)
+    arr = t[col].to_pylist()
+    arr[idx] = val
+    t = t.set_column(t.schema.get_field_index(col),
+                     pa.field(col, t.schema.field(col).type),
+                     pa.array(arr, t.schema.field(col).type))
+    pq.write_table(t, path)
+
+
+def run_batch_dirty() -> bool:
+    """LOUD-FAILURE family: unlike every other family (which asserts the
+    oracle compare passes), this one asserts each probed key FAILS with
+    the documented ANSI error and commits NO output — a silently-wrong
+    result or a silent success is the failure mode under test."""
+    all_ok = True
+    d = "/tmp/degen_bdirty"
+    outdir = "/tmp/vout_degen_bdirty"
+    for table, col, idx, val, sentinel, keys in BATCH_DIRTY_PROBES:
+        subprocess.run(["rm", "-rf", d, outdir], check=True)
+        os.makedirs(d)
+        write_tpch(d)
+        _write_event_rows(d, [  # three purchases; idx 1 takes the dirt
+            (0, "2024-01-10 10:00:00", 1, "purchase", 5.0, '{"k": 1}'),
+            (1, "2024-01-10 11:00:00", 1, "purchase", 6.0, '{"k": 1}'),
+            (2, "2024-01-10 12:00:00", 2, "purchase", 7.0, '{"k": 1}'),
+        ])
+        _inject_dirty(d, table, col, idx, val)
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=keys)
+        p = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {d} {outdir}"],
+            env=env, capture_output=True, text=True)
+        err_lines = [l for l in p.stderr.splitlines()
+                     if l.startswith("[verify] ")]
+        for k in keys.split(","):
+            line = next((l for l in err_lines
+                         if l.startswith(f"[verify] {k} failed:")), None)
+            loud = (line is not None and "CAST_OVERFLOW" in line
+                    and sentinel in line)
+            committed = os.path.exists(f"{outdir}/{k}/_SUCCESS")
+            ok = loud and not committed
+            all_ok = all_ok and ok
+            why = ("" if ok else
+                   " (no failure line)" if line is None else
+                   " (wrong error class)" if "CAST_OVERFLOW" not in line else
+                   f" (sentinel {sentinel} missing)" if sentinel not in line
+                   else " (output committed despite failure)")
+            print(f"{'PASS' if ok else 'FAIL'} loud[{table}.{col}={sentinel}] "
+                  f"{k}{why}")
+    print(f"[degen_check] batch_dirty: "
+          f"{'all probes loud' if all_ok else 'CONTRACT BREACH NOT LOUD'}")
+    return all_ok
+
+
 def run_family(label: str, sfdir: str, keys: str | None) -> bool:
     outdir = f"/tmp/vout_degen_{label}"
     subprocess.run(["rm", "-rf", outdir], check=True)
@@ -552,31 +651,38 @@ def run_family(label: str, sfdir: str, keys: str | None) -> bool:
     return not fails and n_pass == len(selected)
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "stream":
-        # Streaming-degenerate families only (fast iteration path).
-        oks = []
-        for label, d, w in STREAM_CORPORA:
-            os.makedirs(d, exist_ok=True)
-            w(d)
-            oks.append(run_family(label, d, STREAM_KEYS))
-        sys.exit(0 if all(oks) else 1)
-    if len(sys.argv) > 1 and sys.argv[1] == "universe":
-        # Whole-inventory mode: every table in ONE adversarial dir, every
-        # key (incl. the checkpointed streaming family, which stages its
-        # arrival files from the degenerate events) against its oracle.
-        d = "/tmp/degen_all"
+def run_stream() -> bool:
+    """Streaming-degenerate families only (fast iteration path)."""
+    oks = []
+    for label, d, w in STREAM_CORPORA:
         os.makedirs(d, exist_ok=True)
-        write_documents(d)
-        write_embeddings(d)
-        write_part(d)
-        write_events(d)
-        write_tpch(d)
-        if len(sys.argv) > 2 and sys.argv[2] == "nulls":
-            inject_nulls(d)
-        if len(sys.argv) > 2 and sys.argv[2] == "empty":
-            truncate_all(d)
-        sys.exit(0 if run_family("all", d, None) else 1)
+        w(d)
+        oks.append(run_family(label, d, STREAM_KEYS))
+    return all(oks)
+
+
+def run_universe(variant: str | None) -> bool:
+    """Whole-inventory mode: every table in ONE adversarial dir, every
+    key (incl. the checkpointed streaming family, which stages its
+    arrival files from the degenerate events) against its oracle.
+    variant: None (adversarial), "nulls", or "empty"."""
+    d = "/tmp/degen_all"
+    os.makedirs(d, exist_ok=True)
+    write_documents(d)
+    write_embeddings(d)
+    write_part(d)
+    write_events(d)
+    write_tpch(d)
+    if variant == "nulls":
+        inject_nulls(d)
+    if variant == "empty":
+        truncate_all(d)
+    return run_family("all" if variant is None else f"all_{variant}", d, None)
+
+
+def run_default() -> bool:
+    """The per-table degenerate families (docs/events/emb/part/unicode)
+    plus every streaming corpus — the original full gate."""
     for d in ("/tmp/degen_sf", "/tmp/degen_ev", "/tmp/degen_emb",
               "/tmp/degen_part"):
         os.makedirs(d, exist_ok=True)
@@ -592,13 +698,46 @@ def main() -> None:
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    oks = []
-    for label, d, w in STREAM_CORPORA:
-        os.makedirs(d, exist_ok=True)
-        w(d)
-        oks.append(run_family(label, d, STREAM_KEYS))
-    sys.exit(0 if ok_docs and ok_ev and ok_emb and ok_part and ok_uni
-             and all(oks) else 1)
+    return (ok_docs and ok_ev and ok_emb and ok_part and ok_uni
+            and run_stream())
+
+
+def main() -> None:
+    # The streaming corpus list drives both `stream` mode and the default
+    # gate; a refactor that loses a family must fail HERE, not silently
+    # skip it (r11 ADVICE — the r11 fresh-machine crash was exactly a
+    # corpus-list drift between modes).
+    assert len(STREAM_CORPORA) == 5, \
+        f"expected 5 streaming corpora, found {len(STREAM_CORPORA)}"
+    mode = sys.argv[1] if len(sys.argv) > 1 else None
+    if mode == "stream":
+        sys.exit(0 if run_stream() else 1)
+    if mode == "universe":
+        variant = sys.argv[2] if len(sys.argv) > 2 else None
+        sys.exit(0 if run_universe(variant) else 1)
+    if mode == "batch_dirty":
+        sys.exit(0 if run_batch_dirty() else 1)
+    if mode == "all":
+        # ONE entry point, every family, one exit code (r11 verdict task
+        # 5: the gate had grown to ~6 separate invocations, and the r11
+        # fresh-machine crash was a drift between them). Runs every
+        # section even after a failure so a single run reports the full
+        # picture; this is THE post-change gate (README).
+        results = {}
+        results["default+stream"] = run_default()
+        results["universe"] = run_universe(None)
+        results["universe_nulls"] = run_universe("nulls")
+        results["universe_empty"] = run_universe("empty")
+        results["batch_dirty"] = run_batch_dirty()
+        print("[degen_check] === all-mode summary ===")
+        for name, ok in results.items():
+            print(f"[degen_check] {name}: {'OK' if ok else 'FAIL'}")
+        sys.exit(0 if all(results.values()) else 1)
+    if mode is not None:
+        print(f"[degen_check] unknown mode '{mode}' "
+              "(expected: all | stream | universe [nulls|empty] | batch_dirty)")
+        sys.exit(2)
+    sys.exit(0 if run_default() else 1)
 
 
 if __name__ == "__main__":
