@@ -650,6 +650,136 @@ class GenPropertySpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  // win_range_numeric's ±10.0 band edge vs the bucket boundary (VERDICT
+  // r11 task 4): the carry-in coverage argument is integer-proven, and
+  // the pipeline property above exercises random values — but the three
+  // boundary COINCIDENCES it relies on each occur with ~1% probability
+  // per value, so a sample can pass without ever seeing one: the band
+  // edge landing exactly ON a bucket start (anchor vc ≡ bandC mod W,
+  // e.g. 30.00 with contributor 20.00), a contributor exactly AT the
+  // carry filter's threshold (vc mod W = W−bandC, e.g. 10.00 carried
+  // for anchor 20.00), and a contributor exactly band-width below the
+  // anchor (closed-bound inclusion). Force all three — plus 0.01-beyond
+  // exclusions and negative-value floor-division twins — through the
+  // REAL key over a minted events dir, against an O(n²) brute force;
+  // non-purchase rows with in-band values must stay invisible.
+  test("win_range_numeric band edge on bucket boundary equals brute force") {
+    import spark.implicits._
+    val forced = List(9.99, 10.00, 19.99, 20.00, 29.99, 30.00, 30.01,
+      40.00, 0.00, -0.01, -10.00, -20.00)
+    val rndGen: Gen[List[Double]] =
+      Gen.listOf(Gen.chooseNum(-4000, 4000).map(_ / 100.0))
+    forAll(rndGen) { rnd =>
+      val vals = forced ++ rnd
+      val dir = java.nio.file.Files.createTempDirectory("graft_wrn_bnd")
+      try {
+        val baseUs = 1704067200L * 1000000L
+        val rows = vals.zipWithIndex.map { case (v, i) =>
+          (i.toLong, baseUs + i * 1000000L, (i % 5).toLong, "purchase", v, "{}")
+        } ++ vals.take(6).zipWithIndex.map { case (v, i) =>
+          (1000L + i, baseUs + i, 9L, "view", v, "{}")
+        }
+        rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("win_range_numeric")(spark, dir.toString)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(2), math.round(r.getDouble(3) * 100))).toMap
+        val want = vals.zipWithIndex.map { case (v, i) =>
+          val in = vals.filter(u => u >= v - 10.0 && u <= v)
+          i.toLong -> (in.size.toLong, in.map(u => math.round(u * 100)).sum)
+        }.toMap
+        assert(got == want,
+          s"band-edge mismatch: ${got.toSet.diff(want.toSet).take(3)} vs " +
+            s"want ${want.toSet.diff(got.toSet).take(3)} on vals=$vals")
+      } finally reap(dir)
+    }
+  }
+
+  // stream_sliding_1h30m alignment offsets (VERDICT r11 task 4): the
+  // 1 h / 30 min sliding window must put each event in EXACTLY the two
+  // epoch-aligned windows [s, s+1h) with s ∈ {floor₃₀(t), floor₃₀(t)−30m}
+  // — start-inclusive, end-exclusive. Fixture microsecond times never
+  // land on a 30-minute edge, so an inclusive-end assignment (three
+  // windows at the edge), a misaligned window origin, or a half-up slot
+  // truncation would all pass the hash gate. Every generated event sits
+  // AT an edge, 1 µs after one, or on the last µs of a slot; brute force
+  // is integer floor division of the µs offset.
+  test("sliding 1h/30m windows are epoch-aligned start-inclusive end-exclusive") {
+    import spark.implicits._
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z, epoch-aligned
+    val halfUs = 1800L * 1000000L
+    val evGen: Gen[List[(Int, Int, Int)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(0, 8)  // 30-minute slot
+      b <- Gen.chooseNum(0, 2)  // 0: exact edge, 1: +1 µs, 2: last µs of slot
+      u <- Gen.chooseNum(0, 3)
+    } yield (k, b, u))
+    forAll(evGen) { evs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_sld_bnd")
+      try {
+        val rows = evs.zipWithIndex.map { case ((k, b, u), i) =>
+          val off = b match {
+            case 0 => 0L
+            case 1 => 1L
+            case _ => halfUs - 1L
+          }
+          (i.toLong, baseUs + k * halfUs + off, u.toLong, "view", 1.0, "{}")
+        }
+        rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("stream_sliding_1h30m")(spark, dir.toString)
+          .collect().map(r => r.getTimestamp(0).getTime ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val contrib = rows.flatMap { case (_, us, u, _, _, _) =>
+          val s1 = (us / halfUs) * halfUs
+          List(s1, s1 - halfUs).map(s => s / 1000L -> u)
+        }
+        val want = contrib.groupBy(_._1).map { case (s, xs) =>
+          s -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+        }
+        assert(got == want,
+          s"sliding alignment mismatch: ${got.toSet.diff(want.toSet).take(3)} " +
+            s"vs want ${want.toSet.diff(got.toSet).take(3)} on evs=$evs")
+      } finally reap(dir)
+    }
+  }
+
+  // The fn_string lev dialect guard NULLs non-ASCII args on BOTH
+  // engines, so the cross-engine gate is deliberately vacuous exactly
+  // where Spark and DuckDB diverge (DuckDB counts BYTES there) — the
+  // claimed CODE-POINT semantics rested on one hardcoded pair
+  // (Round3Spec). Property-pin it (r11 ADVICE): on generated pairs over
+  // a mixed ASCII / BMP-accent / CJK / ASTRAL alphabet (astral chars
+  // are TWO UTF-16 units and FOUR UTF-8 bytes but ONE code point — the
+  // exact class char- or byte-based implementations get wrong), Spark's
+  // levenshtein must equal a classic DP over code-point arrays.
+  test("levenshtein equals code-point DP reference on generated non-ASCII pairs") {
+    import spark.implicits._
+    val alphabet = Vector("a", "b", "é", "ö", "ı", "中", "𝄞", "😀", " ")
+    val strGen: Gen[String] = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    def ref(a: String, b: String): Int = {
+      val x = a.codePoints().toArray
+      val y = b.codePoints().toArray
+      val dp = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      dp(x.length)(y.length)
+    }
+    forAll(Gen.listOfN(12, Gen.zip(strGen, strGen))) { pairs =>
+      val got = pairs.toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+      val want = pairs.map { case (a, b) => ref(a, b) }
+      assert(got == want, s"pairs=$pairs got=$got want=$want")
+    }
+  }
+
   // sample_hash_bernoulli keeps bucket < rate (STRICT: exactly `rate` of
   // 100 buckets). The oracle runs the identical arithmetic, so an
   // off-by-one (<=) would be invisible to the hash gate — pin the
