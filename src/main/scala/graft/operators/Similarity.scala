@@ -75,11 +75,12 @@ object Similarity extends QueryModule {
   /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe. */
   private def duckIvf(nprobe: Int): String = s"""
       WITH cent AS (
-        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
-          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        SELECT cell, list(m ORDER BY i) AS c FROM (
+          SELECT label % $IvfCells AS cell, i,
+                 avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
           FROM embeddings, range(1, 65) t(i)
-          GROUP BY label, i)
-        GROUP BY label),
+          GROUP BY cell, i)
+        GROUP BY cell),
       probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
       best AS (
         SELECT cell FROM cent, probe
@@ -92,7 +93,7 @@ object Similarity extends QueryModule {
       SELECT vec_id, label,
              round(${duckCosine("embedding", "p")}, 6) AS cos
       FROM embeddings, probe, best
-      WHERE label = best.cell AND vec_id <> 0
+      WHERE label % $IvfCells = best.cell AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 5
     """
 
@@ -129,16 +130,41 @@ object Similarity extends QueryModule {
     df.select(col("vec_id"), col("label"),
       r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
 
+  /** Coarse-quantizer cell count (IVF "nlist") — THE scale knob of the
+    * cell-blocked embedding family (sim_ivf_*, dedup_embed_cosine). The
+    * trainer folds the label alphabet into at most IvfCells cells
+    * (pmod), which is the identity at fixture scale (every corpus's
+    * labels < 16), so plans, results, and oracle values are unchanged
+    * there.
+    *
+    * 100 TB sizing rule (the r11 verdict's one recorded scale caveat,
+    * now a documented knob): the within-cell self-join costs ~N²/cells
+    * pairs, so set IvfCells ≈ √N for N corpus vectors (10⁹ vectors →
+    * ~30k cells), bounding the blocked pair space to ~N^1.5 with each
+    * cell's shard ≈ √N rows. At that scale, train the centroids from a
+    * SAMPLE (k-means or hashed seeds) instead of the label fold — the
+    * assign → block → within-cell-join structure and this knob are what
+    * carry over, not the toy trainer. SURVEY §7.6 records the same rule.
+    */
+  private[graft] val IvfCells = 16
+
+  /** Quantizer "training": one mean-vec centroid per cell, cell = label
+    * folded into IvfCells — ONE recipe shared by sim_ivf_* and
+    * dedup_embed_cosine so the oracles mirror a single SQL shape.
+    */
+  private def trainCentroids(e: DataFrame): DataFrame =
+    e.groupBy(pmod(col("label"), lit(IvfCells)).as("cell"))
+      .agg(expr("mean_vec(embedding)").as("c"))
+
   /** IVF search: route the probe to its `nprobe` nearest coarse cells
-    * (per-label mean-embedding centroids from the vector-avg UDAF), then
-    * exact top-5 within their union.
+    * (mean-embedding centroids from the vector-avg UDAF), then exact
+    * top-5 within their union.
     */
   private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     registerMeanVec(s)
     val e = embeddings(s, d)
-    val cents = e.groupBy(col("label").as("cell"))
-      .agg(expr("mean_vec(embedding)").as("c"))
+    val cents = trainCentroids(e)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
     // f32×f64 and f64×f64 dots stay HOF (mixed types); same fold order.
@@ -250,10 +276,10 @@ object Similarity extends QueryModule {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
-      // Coarse quantizer "training": per-label mean centroids (identical
-      // to sim_ivf_topk, so the oracle mirrors it with the same SQL).
-      val cents = e.groupBy(col("label").as("cell"))
-        .agg(expr("mean_vec(embedding)").as("c"))
+      // Coarse quantizer "training": shared trainCentroids recipe
+      // (identical to sim_ivf_topk, so the oracle mirrors the same SQL;
+      // IvfCells is the scale knob — see its scaladoc for the √N rule).
+      val cents = trainCentroids(e.select(col("label"), col("embedding")))
       // f32×f64 dot stays HOF (mixed element types); same fold order as
       // the oracle's list_transform sum.
       val dotVC = "aggregate(zip_with(embedding, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
@@ -422,11 +448,12 @@ object Similarity extends QueryModule {
     // tie-break, kNN within assigned cell.
     "dedup_embed_cosine" -> s"""
       WITH cent AS (
-        SELECT label AS cell, list(m ORDER BY i) AS c FROM (
-          SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        SELECT cell, list(m ORDER BY i) AS c FROM (
+          SELECT label % $IvfCells AS cell, i,
+                 avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
           FROM embeddings, range(1, 65) t(i)
-          GROUP BY label, i)
-        GROUP BY label),
+          GROUP BY cell, i)
+        GROUP BY cell),
       n AS (
         SELECT vec_id, embedding,
                sqrt(${duckDot("embedding", "embedding")}) AS norm
