@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * reference's MySQL `counts` table, held as a (date-partitionable)
   * DataFrame.
   *
+  * The r11-ADVICE fold of `knownFile` into the main aggregate (one
+  * scan, existence = count over a file-only filter) was measured and
+  * REJECTED (r12): on a 1500-partition date-partitioned counts table,
+  * the fused form is 2–3× slower on the KNOWN-file hot path (dateCount
+  * ×5: probe 0.95–1.49 s vs fused 2.59–3.09 s) because the existence
+  * aggregate must scan the file's whole history with no early exit,
+  * where the probe's limit(1) stops at the first pushed match and the
+  * main branch keeps its date partition pruning; unknown files tie
+  * (2.72 vs 2.62 s — both shapes must exhaust the scan). If true
+  * MySQL-point-lookup latency ever matters, the answer is a
+  * broadcastable distinct-file dimension maintained at ingest, not the
+  * fold — the API keeps the probe.
+  *
   * Scale notes (100 TB): every method is a filter + aggregate over the
   * counts table — partition pruning on `date` and predicate pushdown on
   * `file` do the heavy lifting at rest; `categoryCount` broadcasts the
