@@ -124,12 +124,18 @@ object Relational extends QueryModule {
     * deterministic IEEE ops identical in both engines.
     *
     * VALUE-DOMAIN CONTRACT (all lineitem-cents keys, incl. the stat
-    * aggs below): finite 2-decimal money with |v| < ~9.2e14 — the cents
-    * casts are BARE ANSI on purpose; TPC-H-shaped fact tables are
-    * curated data, unlike the raw-log streaming ingest (try_cast
-    * there). A breach is LOUD — one NaN/±Inf/overflow row kills the
-    * query with [CAST_OVERFLOW], never a silently-wrong sum — probed
-    * per dirty column by tools/degen_check.py batch_dirty.
+    * aggs below): finite 2-decimal money well inside the BIGINT
+    * headroom of the cents cross-multiplies (TPC-H magnitudes are
+    * ~1e5; the cast bound is ~9.2e16 cents and q1's triple product
+    * tightens that by ~2e4) — the casts and products are BARE ANSI on
+    * purpose; TPC-H-shaped fact tables are curated data, unlike the
+    * raw-log streaming ingest (try_cast there). EVERY breach class is
+    * LOUD — NaN/±Inf/cast overflow throw [CAST_OVERFLOW], a product
+    * past the BIGINT headroom throws [ARITHMETIC_OVERFLOW] — never a
+    * silently-wrong sum; probed per dirty column by
+    * tools/degen_check.py batch_dirty, with an in-contract large-value
+    * positive control pinning that correctness holds right up to the
+    * documented domain.
     */
   private def tpchQ1Sql(table: String): String = s"""
     WITH b AS (
@@ -713,10 +719,14 @@ object Relational extends QueryModule {
     // not the double-state corr()/covar_pop() builtins: double
     // partial-state merge order follows shuffle arrival order, so the
     // last ulps differ run to run (the driver's r2 hash caught exactly
-    // that). Per-row products fit BIGINT; sums run the codegen'd 128-bit
-    // sum_i128 (overflow-proof at any scale, still plain
-    // partial-aggregatable hash aggs — see Int128SumDouble for why not
-    // DECIMAL(38,0)). corr is scale-invariant so cents need no rescale;
+    // that). Per-row products fit BIGINT — which DEFINES this key's
+    // value domain, tighter than the cents-cast bound: pc*pc caps
+    // |cents| at ~3.03e9 (≈ $3.0e7 — generous for money data; breach
+    // throws loud ARITHMETIC_OVERFLOW, probed with an in-domain
+    // positive control by tools/degen_check.py batch_dirty, r12). Sums
+    // run the codegen'd 128-bit sum_i128 (overflow-proof at any scale,
+    // still plain partial-aggregatable hash aggs — see Int128SumDouble
+    // for why not DECIMAL(38,0)). corr is scale-invariant so cents need no rescale;
     // covar rescales by 1/10⁴. The formula text is shared verbatim with
     // the oracle (corrStats) → bit-identical doubles before rounding.
     "agg_corr_stats" -> ((s, d) => {

@@ -553,15 +553,24 @@ def truncate_all(sfdir: str) -> None:
 # predicates, so the same error class covers a breach that reaches
 # them.
 BATCH_DIRTY_PROBES = [
-    # (table, column, row-idx, value, sentinel-in-message, keys)
-    ("events", "value", 1, float("nan"), "NaN", "win_range_numeric"),
-    ("lineitem", "l_extendedprice", 0, float("nan"), "NaN",
+    # (table, column, row-idx, value, error-class, sentinel-in-message, keys)
+    ("events", "value", 1, float("nan"), "CAST_OVERFLOW", "NaN",
+     "win_range_numeric"),
+    ("lineitem", "l_extendedprice", 0, float("nan"), "CAST_OVERFLOW", "NaN",
      "sql_tpch_q1,agg_corr_stats"),
-    ("lineitem", "l_discount", 2, float("inf"), "Infinity",
+    ("lineitem", "l_discount", 2, float("inf"), "CAST_OVERFLOW", "Infinity",
      "sql_tpch_q1,agg_corr_stats,agg_skew_kurt"),
     # the cast sees round(value * 100), so 1e300 surfaces as 1.0E302
-    ("lineitem", "l_tax", 4, 1e300, "1.0E302",
+    ("lineitem", "l_tax", 4, 1e300, "CAST_OVERFLOW", "1.0E302",
      "sql_tpch_q1,agg_corr_stats"),
+    # agg_corr_stats' domain is TIGHTER than the cast bound: it squares
+    # cents per row (pc*pc into the i128 sum), so |cents| ≳ 3.03e9
+    # (|v| ≳ $3.0e7) overflows the BIGINT product while the cast and
+    # q1's smaller cross-multiplies still fit — found by this family's
+    # positive control at 4e9 (r12). ARITHMETIC_OVERFLOW carries no
+    # value sentinel; the probe construction names column and value.
+    ("lineitem", "l_extendedprice", 1, 4.0e9, "ARITHMETIC_OVERFLOW", "",
+     "agg_corr_stats"),
 ]
 
 
@@ -584,7 +593,7 @@ def run_batch_dirty() -> bool:
     all_ok = True
     d = "/tmp/degen_bdirty"
     outdir = "/tmp/vout_degen_bdirty"
-    for table, col, idx, val, sentinel, keys in BATCH_DIRTY_PROBES:
+    for table, col, idx, val, err_class, sentinel, keys in BATCH_DIRTY_PROBES:
         subprocess.run(["rm", "-rf", d, outdir], check=True)
         os.makedirs(d)
         write_tpch(d)
@@ -603,20 +612,41 @@ def run_batch_dirty() -> bool:
         for k in keys.split(","):
             line = next((l for l in err_lines
                          if l.startswith(f"[verify] {k} failed:")), None)
-            loud = (line is not None and "CAST_OVERFLOW" in line
+            loud = (line is not None and err_class in line
                     and sentinel in line)
             committed = os.path.exists(f"{outdir}/{k}/_SUCCESS")
             ok = loud and not committed
             all_ok = all_ok and ok
             why = ("" if ok else
                    " (no failure line)" if line is None else
-                   " (wrong error class)" if "CAST_OVERFLOW" not in line else
+                   f" ({err_class} missing)" if err_class not in line else
                    f" (sentinel {sentinel} missing)" if sentinel not in line
                    else " (output committed despite failure)")
-            print(f"{'PASS' if ok else 'FAIL'} loud[{table}.{col}={sentinel}] "
-                  f"{k}{why}")
+            print(f"{'PASS' if ok else 'FAIL'} "
+                  f"loud[{table}.{col}={sentinel or val}] {k}{why}")
+    # POSITIVE control: a large value INSIDE every probed key's domain
+    # (2.0e7 → 2e9 cents: corr's per-row square is 4e18 < BIGINT max,
+    # q1's triple cross-multiply ~4e13) must still pass the FULL oracle
+    # compare — loudness begins AT the domain boundary, not before, and
+    # the big value flows through cents sums / corr moments / the range
+    # window bucketing with exact cross-engine agreement. (This control
+    # at 4e9 is what FOUND the corr square-overflow probe above.)
+    subprocess.run(["rm", "-rf", d], check=True)
+    os.makedirs(d)
+    write_tpch(d)
+    _write_event_rows(d, [
+        (0, "2024-01-10 10:00:00", 1, "purchase", 5.0, '{"k": 1}'),
+        (1, "2024-01-10 11:00:00", 1, "purchase", 6.0, '{"k": 1}'),
+        (2, "2024-01-10 12:00:00", 2, "purchase", 7.0, '{"k": 1}'),
+    ])
+    _inject_dirty(d, "lineitem", "l_extendedprice", 1, 2.0e7)
+    _inject_dirty(d, "events", "value", 1, 2.0e7)
+    ok_pos = run_family(
+        "bdirty_poscontrol", d,
+        "win_range_numeric,sql_tpch_q1,agg_corr_stats,agg_skew_kurt")
+    all_ok = all_ok and ok_pos
     print(f"[degen_check] batch_dirty: "
-          f"{'all probes loud' if all_ok else 'CONTRACT BREACH NOT LOUD'}")
+          f"{'all probes loud, positive control exact' if all_ok else 'FAIL'}")
     return all_ok
 
 
