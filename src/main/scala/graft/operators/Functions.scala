@@ -63,17 +63,33 @@ object Functions extends QueryModule {
     // Sub-day time arithmetic: hour/minute/second extraction, epoch
     // round-trips, second-granular diffs — the intraday complement of
     // fn_date (the reference is day-granular; engine parity is not).
+    //
+    // Epoch seconds are FLOOR(µs/10⁶) by contract, computed with exact
+    // integer pmod arithmetic (r12 timestamp-extremes find): Spark's
+    // unix_timestamp and DuckDB's integer `//` BOTH truncate toward
+    // zero (disagreeing with SQL floor on pre-1970 fractional-second
+    // timestamps), and DuckDB's double epoch() loses integer precision
+    // at year-9999 magnitudes (it answered year 10000). Floor matches
+    // Spark's own window()/time-bucketing semantics and gives the
+    // secs_into_day ∈ [0, 86399] invariant at every representable
+    // timestamp; for ≥1970 inputs (all fixtures) it is identical to
+    // the previous unix_timestamp form.
     "fn_time" -> ((s, d) => {
-      events(s, d).select(
-        col("event_id"),
-        hour(col("ts")).as("h"),
-        minute(col("ts")).as("m"),
-        second(col("ts")).as("sec"),
-        unix_timestamp(col("ts")).as("epoch_s"),
-        timestamp_seconds(unix_timestamp(col("ts"))).as("epoch_roundtrip"),
-        (unix_timestamp(col("ts"))
-          - unix_timestamp(date_trunc("DAY", col("ts")))).as("secs_into_day"),
-        (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"))
+      events(s, d)
+        .withColumn("_us", expr("unix_micros(ts)"))
+        .withColumn("_dus", expr("unix_micros(date_trunc('DAY', ts))"))
+        .withColumn("epoch_s",
+          expr("(_us - pmod(_us, 1000000)) div 1000000"))
+        .select(
+          col("event_id"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("m"),
+          second(col("ts")).as("sec"),
+          col("epoch_s"),
+          timestamp_seconds(col("epoch_s")).as("epoch_roundtrip"),
+          (col("epoch_s")
+            - expr("(_dus - pmod(_dus, 1000000)) div 1000000")).as("secs_into_day"),
+          (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"))
     }),
 
     "fn_math" -> ((s, d) => {
@@ -415,15 +431,27 @@ object Functions extends QueryModule {
     """,
 
     "fn_time" -> """
+      WITH b AS (
+        SELECT *, epoch_us(ts) AS us,
+               epoch_us(date_trunc('day', ts)) AS dus
+        FROM events)
       SELECT event_id,
              CAST(hour(ts) AS INT) AS h,
              CAST(minute(ts) AS INT) AS m,
              CAST(second(ts) AS INT) AS sec,
-             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-             CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS epoch_roundtrip,
-             CAST(floor(epoch(ts)) - floor(epoch(date_trunc('day', ts))) AS BIGINT) AS secs_into_day,
+             -- exact integer floor(µs/1e6): `//` truncates toward zero
+             -- on BIGINTs and floor(epoch()) goes through an imprecise
+             -- double, so subtract the pmod remainder first (matches
+             -- the Spark side's pmod/div form exactly)
+             CAST((us - ((us % 1000000 + 1000000) % 1000000)) // 1000000
+                  AS BIGINT) AS epoch_s,
+             CAST(to_timestamp((us - ((us % 1000000 + 1000000) % 1000000)) // 1000000)
+                  AS TIMESTAMP) AS epoch_roundtrip,
+             CAST((us - ((us % 1000000 + 1000000) % 1000000)) // 1000000
+                  - (dus - ((dus % 1000000 + 1000000) % 1000000)) // 1000000
+                  AS BIGINT) AS secs_into_day,
              ts + INTERVAL 90 MINUTE AS plus90m
-      FROM events ORDER BY event_id
+      FROM b ORDER BY event_id
     """,
 
     "fn_math" -> """

@@ -248,6 +248,37 @@ def write_events_dirty(sfdir: str) -> None:
     ])
 
 
+def write_events_extremetime(sfdir: str) -> None:
+    """Timestamp extremes (r12, an axis no other family probed): pre-1970
+    negative-µs events with sub-second fractions, the epoch boundary
+    ±1 µs, deep past (1900), a leap day, and year-9999 edges, plus a
+    normal 2024 cluster. FOUND a real divergence on first run: Spark's
+    unix_timestamp truncates toward zero where the oracle's
+    floor(epoch()) floors — differing on every pre-1970 fractional
+    second — and DuckDB's double epoch() loses integer precision at
+    year-9999 magnitudes (it answered year 10000). fn_time's epoch
+    columns are now exact integer floor(µs/1e6) via pmod arithmetic on
+    BOTH engines. The window/session/tumbling keys pass unchanged:
+    Spark's window() already floor-divides µs, so negative timestamps
+    bucket correctly."""
+    _write_event_rows(sfdir, [
+        (0, "1969-12-31 23:59:59.999999", 1, "view", 1.0, '{"k": 1}'),
+        (1, "1969-12-31 00:00:00", 1, "click", 2.0, '{"k": 1}'),
+        (2, "1969-06-15 12:00:00", 2, "purchase", 3.0, '{"k": 1}'),
+        (3, "1969-06-15 12:00:00.000001", 2, "purchase", 4.0, '{"k": 1}'),
+        (4, "1970-01-01 00:00:00", 1, "view", 5.0, '{"k": 1}'),
+        (5, "1970-01-01 00:00:00.000001", 3, "error", 6.0, '{"k": 1}'),
+        (6, "1900-02-28 23:59:59", 4, "view", 7.0, '{"k": 1}'),
+        (7, "2000-02-29 12:00:00", 4, "signup", 8.0, '{"k": 1}'),
+        (8, "9999-12-31 23:59:59.999999", 5, "view", 9.0, '{"k": 1}'),
+        (9, "9999-12-01 00:00:00", 5, "click", 10.0, '{"k": 1}'),
+        (10, "2024-01-10 08:00:00", 1, "view", 11.0, '{"k": 1}'),
+        (11, "2024-01-10 09:00:00", 2, "click", 12.0, '{"k": 1}'),
+        (12, "2024-01-11 08:00:00", 1, "purchase", 13.0, '{"k": 1}'),
+        (13, "2024-02-05 10:00:00", 3, "view", 14.0, '{"k": 1}'),
+    ])
+
+
 def write_events_alllate(sfdir: str) -> None:
     """All-late arrival set: every event precedes stream_late_drop's Jan-5
     'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
@@ -723,12 +754,15 @@ def run_default() -> bool:
     write_part("/tmp/degen_part")
     os.makedirs("/tmp/degen_uni", exist_ok=True)
     write_unicode_documents("/tmp/degen_uni")
+    os.makedirs("/tmp/degen_time", exist_ok=True)
+    write_events_extremetime("/tmp/degen_time")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
+    ok_time = run_family("time", "/tmp/degen_time", EVENT_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    return (ok_docs and ok_ev and ok_emb and ok_part and ok_uni
+    return (ok_docs and ok_ev and ok_time and ok_emb and ok_part and ok_uni
             and run_stream())
 
 
