@@ -279,6 +279,47 @@ def write_events_extremetime(sfdir: str) -> None:
     ])
 
 
+# Date-extreme companions for the `time` family: same corpus dir also
+# carries TPC-H tables whose order/ship dates hit 1583 (first full
+# post-Gregorian-adoption year), the 1899/1900 century edge, a leap
+# day, and 9999-12-31 — probing fn_date's month arithmetic /
+# yyyyMMdd round-trip / last_day, the date-ordered windows, and
+# shipdate pushdown. Negative result on first run (r12): all agree
+# cross-engine at every probed date — pinned here so a future
+# calendar-handling change can't regress silently. Pre-1583 dates are
+# deliberately excluded: parquet readers disagree about proleptic-vs-
+# Julian rebasing before the Gregorian adoption, which is a storage
+# dialect, not query semantics.
+TIME_EXTRA_KEYS = ",".join([
+    "fn_date", "win_first_last", "sort_detail_by_date",
+    "scan_parquet_pushdown", "sql_tpch_q1", "limit_offset", "topk_global",
+])
+
+
+def write_dates_extremetpch(sfdir: str) -> None:
+    write_tpch(sfdir)
+    write_part(sfdir)
+    t = pq.read_table(f"{sfdir}/orders.parquet")
+    dates = t["o_orderdate"].to_pylist()
+    for i, d in enumerate([dt.datetime(1583, 1, 1), dt.datetime(1899, 12, 31),
+                           dt.datetime(1900, 3, 1), dt.datetime(9999, 12, 31),
+                           dt.datetime(2000, 2, 29)]):
+        dates[i] = d
+    t = t.set_column(t.schema.get_field_index("o_orderdate"),
+                     pa.field("o_orderdate", t.schema.field("o_orderdate").type),
+                     pa.array(dates, t.schema.field("o_orderdate").type))
+    pq.write_table(t, f"{sfdir}/orders.parquet")
+    t = pq.read_table(f"{sfdir}/lineitem.parquet")
+    sd = t["l_shipdate"].to_pylist()
+    for i, d in enumerate([dt.datetime(1583, 1, 1), dt.datetime(9999, 12, 31),
+                           dt.datetime(1899, 12, 31)]):
+        sd[i] = d
+    t = t.set_column(t.schema.get_field_index("l_shipdate"),
+                     pa.field("l_shipdate", t.schema.field("l_shipdate").type),
+                     pa.array(sd, t.schema.field("l_shipdate").type))
+    pq.write_table(t, f"{sfdir}/lineitem.parquet")
+
+
 def write_events_alllate(sfdir: str) -> None:
     """All-late arrival set: every event precedes stream_late_drop's Jan-5
     'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
@@ -756,9 +797,11 @@ def run_default() -> bool:
     write_unicode_documents("/tmp/degen_uni")
     os.makedirs("/tmp/degen_time", exist_ok=True)
     write_events_extremetime("/tmp/degen_time")
+    write_dates_extremetpch("/tmp/degen_time")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
-    ok_time = run_family("time", "/tmp/degen_time", EVENT_KEYS)
+    ok_time = run_family("time", "/tmp/degen_time",
+                         EVENT_KEYS + "," + TIME_EXTRA_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
