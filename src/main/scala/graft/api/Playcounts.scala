@@ -184,7 +184,14 @@ object Playcounts {
       coalesce(expr(s"try_cast(split(line, '\t')[$i] AS BIGINT)"), lit(0L))
     lines
       .select(element_at(f, 1).as("path"),
-        (counter(3) + counter(4) + counter(16)).as("count"))
+        // try_add, not `+`: this is the RAWEST ingest surface, and under
+        // ANSI one absurd dump line with near-Long.Max counters kills
+        // the whole day with ARITHMETIC_OVERFLOW (measured, r12 — the
+        // same one-corrupt-row crash class as the r11 streaming cents
+        // find; the Python reference's bigints can't overflow). Overflow
+        // → NULL count → the count > 0 filter below drops the garbage
+        // row, matching the existing tolerance for undecodable paths.
+        try_add(try_add(counter(3), counter(4)), counter(16)).as("count"))
       .filter(col("path").startsWith("/wikipedia/commons/")
         && lower(regexp_extract(col("path"), "\\.([a-zA-Z0-9]+)$", 1))
           .isin(playableExtensions: _*))

@@ -57,6 +57,32 @@ class ApiSpec extends AnyFunSuite {
     assert(rows == Seq("A+B.ogg", "Bad%GG.ogg", "Oké.ogg"), s"got $rows")
   }
 
+  test("ingest tolerance: one absurd-counter line is dropped, not a job kill") {
+    // The rawest surface (r12 find): under ANSI a dump line whose
+    // counters sum past Long.Max used to kill the WHOLE day with
+    // ARITHMETIC_OVERFLOW — the Python reference's bigints can't
+    // overflow, and the r11 doctrine is that one corrupt raw row never
+    // ends a 100 TB ingest. try_add → NULL count → the count > 0
+    // filter drops exactly the garbage row; neighbors survive intact.
+    import spark.implicits._
+    val max = Long.MaxValue
+    val lines = Seq(
+      mkLine("/wikipedia/commons/a/ab/Good.ogg", 100, "50", 25),
+      s"/wikipedia/commons/a/ab/Evil.ogg\t-\t-\t$max\t$max\t" +
+        ("-\t" * 11) + max.toString)
+      .toDF("line")
+    val rows = api.Playcounts.fromMediacountsLog(lines, day1)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(rows == Seq(("Good.ogg", 175L)), s"got $rows")
+    // A single near-Max counter that does NOT overflow still ingests —
+    // the drop is the overflow tolerance, not a magnitude cap.
+    val big = Seq(mkLine("/wikipedia/commons/a/ab/Big.oga", max, "-", 0))
+      .toDF("line")
+    val bigRows = api.Playcounts.fromMediacountsLog(big, day1)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(bigRows == Seq(("Big.oga", max)), s"got $bigRows")
+  }
+
   test("dateCount point lookup") {
     val pc = new api.Playcounts(counts)
     val r = pc.dateCount("Song.ogg", day1).collect()
