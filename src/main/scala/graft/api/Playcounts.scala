@@ -180,8 +180,13 @@ object Playcounts {
     */
   def fromMediacountsLog(lines: DataFrame, date: java.sql.Date): DataFrame = {
     val f = split(col("line"), "\t")
+    // get(), not [i]: under ANSI an ordinal access beyond the array kills
+    // the job with INVALID_ARRAY_INDEX, so one TRUNCATED dump line — the
+    // most ordinary real-world corruption — used to end the whole day
+    // (measured, r12). get() answers NULL out of bounds, so a missing
+    // counter column falls into the same '-'→0 rule as an unparseable one.
     def counter(i: Int): Column =
-      coalesce(expr(s"try_cast(split(line, '\t')[$i] AS BIGINT)"), lit(0L))
+      coalesce(expr(s"try_cast(get(split(line, '\t'), $i) AS BIGINT)"), lit(0L))
     lines
       .select(element_at(f, 1).as("path"),
         // try_add, not `+`: this is the RAWEST ingest surface, and under

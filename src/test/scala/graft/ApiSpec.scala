@@ -83,6 +83,24 @@ class ApiSpec extends AnyFunSuite {
     assert(bigRows == Seq(("Big.oga", max)), s"got $bigRows")
   }
 
+  test("ingest tolerance: truncated dump lines count missing columns as 0") {
+    // The other one-corrupt-row job kill (r12 find): ANSI ordinal array
+    // access threw INVALID_ARRAY_INDEX on any line with fewer than 17
+    // columns. get() answers NULL beyond the array, so a truncated line
+    // keeps the counters it has (missing → 0, the '-' rule), and a line
+    // cut before any counter drops via count > 0.
+    import spark.implicits._
+    val lines = Seq(
+      mkLine("/wikipedia/commons/a/ab/Good.ogg", 100, "50", 25),
+      "/wikipedia/commons/a/ab/Short.ogg\t1\t2",      // cut before col 3
+      "/wikipedia/commons/a/ab/Mid.ogg\t0\t0\t7\t3"   // has 3,4; no 16
+    ).toDF("line")
+    val rows = api.Playcounts.fromMediacountsLog(lines, day1)
+      .orderBy(col("file"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(rows == Seq(("Good.ogg", 175L), ("Mid.ogg", 10L)), s"got $rows")
+  }
+
   test("dateCount point lookup") {
     val pc = new api.Playcounts(counts)
     val r = pc.dateCount("Song.ogg", day1).collect()
