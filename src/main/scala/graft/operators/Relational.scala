@@ -137,6 +137,14 @@ object Relational extends QueryModule {
     * positive control pinning that correctness holds right up to the
     * documented domain.
     */
+  /** agg_histogram's binning, shared verbatim by both engines: clamp in
+    * DOUBLE, cast after (always fits), NaN → NULL bin. See the key's
+    * comment for the r12 saturation find this encodes.
+    */
+  private val histBucketSql = """
+    CASE WHEN isnan(value) THEN NULL
+         ELSE CAST(least(greatest(floor(value / 10), -20.0), 19.0) AS BIGINT) END"""
+
   private def tpchQ1Sql(table: String): String = s"""
     WITH b AS (
       SELECT l_returnflag, l_linestatus,
@@ -659,12 +667,21 @@ object Relational extends QueryModule {
           r6(min(col("value"))).as("min_value"))
     }),
 
-    // Fixed-width histogram via explicit bucket arithmetic (floor + cap):
-    // one hash agg on a derived int key — the binning itself is map-side
-    // codegen'd projection work, portable to any engine.
+    // Fixed-width histogram via explicit bucket arithmetic: one hash agg
+    // on a derived int key — the binning is map-side codegen'd projection
+    // work, portable to any engine, and its text is shared VERBATIM with
+    // the oracle (histBucketSql). The binning is TOTAL over doubles (r12
+    // dirty-batch find): the old floor(...).cast(long) SILENTLY saturated
+    // outside ANSI — -1e300 became a Long.MinValue bucket and NaN
+    // polluted bucket 0 via toLong = 0 — while the oracle's unclamped
+    // cast crashed outright. Now the clamp runs in DOUBLE before the
+    // cast ([-20, 19] always fits): finite out-of-range and ±Inf pool
+    // visibly in the edge bins (-20 underflow, 19 overflow), NaN counts
+    // in the NULL bin — a histogram over raw values never silently
+    // misfiles a row and never kills the job.
     "agg_histogram" -> ((s, d) => {
       events(s, d)
-        .select(least(floor(col("value") / 10).cast("long"), lit(19L)).as("bucket"))
+        .select(expr(histBucketSql).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -1365,9 +1382,9 @@ object Relational extends QueryModule {
       FROM r GROUP BY event_type ORDER BY event_type
     """,
 
-    "agg_histogram" -> """
-      SELECT least(CAST(floor(value / 10) AS BIGINT), 19) AS bucket, count(*) AS n
-      FROM events GROUP BY 1 ORDER BY bucket
+    "agg_histogram" -> s"""
+      SELECT $histBucketSql AS bucket, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST
     """,
 
     "agg_percentiles" -> """

@@ -798,15 +798,27 @@ def run_default() -> bool:
     os.makedirs("/tmp/degen_time", exist_ok=True)
     write_events_extremetime("/tmp/degen_time")
     write_dates_extremetpch("/tmp/degen_time")
+    # Dirty doubles through the BATCH event keys (r12): the stream_dirty
+    # corpus only ever ran the checkpointed keys — the batch aggregates
+    # over the same dirty values were unprobed, and the first run found
+    # agg_histogram's floor-saturation silently misfiling NaN into
+    # bucket 0 (fixed: clamped total binning, NULL bin for NaN).
+    # win_range_numeric stays out: its value domain is the LOUD contract
+    # probed by batch_dirty.
+    os.makedirs("/tmp/degen_ev_dirty", exist_ok=True)
+    write_events_dirty("/tmp/degen_ev_dirty")
+    dirty_batch_keys = ",".join(
+        k for k in EVENT_KEYS.split(",") if k != "win_range_numeric")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
+    ok_evd = run_family("events_dirty", "/tmp/degen_ev_dirty", dirty_batch_keys)
     ok_time = run_family("time", "/tmp/degen_time",
                          EVENT_KEYS + "," + TIME_EXTRA_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    return (ok_docs and ok_ev and ok_time and ok_emb and ok_part and ok_uni
-            and run_stream())
+    return (ok_docs and ok_ev and ok_evd and ok_time and ok_emb and ok_part
+            and ok_uni and run_stream())
 
 
 def main() -> None:
