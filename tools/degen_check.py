@@ -320,6 +320,27 @@ def write_dates_extremetpch(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/lineitem.parquet")
 
 
+def write_events_future(sfdir: str) -> None:
+    """One absurd far-future event (corrupt clock — routine garbage in
+    real logs) amid a normal 2024 stream: the hazard is a POISONED
+    WATERMARK — if it jumps to year 9999 − delay, every later real event
+    reads as late. Negative result pinned (r12): all six checkpointed
+    keys stay cross-engine exact — under Trigger.AvailableNow the final
+    watermark closes every window, so the staged-model oracles predict
+    the identical emission; nothing is silently lost and nothing
+    crashes. (A continuous deployment would still want an ingest-time
+    sanity filter on event time; that is an operational note, not a
+    query-semantics gap — the semantics are deterministic and agreed.)"""
+    _write_event_rows(sfdir, [
+        (0, "2024-01-10 09:00:00", 1, "view", 1.0, '{"k": 1}'),
+        (1, "2024-01-10 10:00:00", 1, "click", 2.0, '{"k": 1}'),
+        (2, "9999-12-31 23:00:00", 2, "view", 3.0, '{"k": 1}'),
+        (3, "2024-01-10 11:00:00", 2, "purchase", 4.0, '{"k": 1}'),
+        (4, "2024-01-11 09:30:00", 3, "view", 5.0, '{"k": 1}'),
+        (5, "2024-01-11 10:15:00", 1, "error", 6.0, '{"k": 1}'),
+    ])
+
+
 def write_events_alllate(sfdir: str) -> None:
     """All-late arrival set: every event precedes stream_late_drop's Jan-5
     'mid' boundary, so the ON-TIME file is the zero-row micro-batch, the
@@ -350,6 +371,7 @@ STREAM_CORPORA = [
     ("stream_alllate", "/tmp/degen_s_late", write_events_alllate),
     ("stream_zero", "/tmp/degen_s_zero", write_events_empty),
     ("stream_dirty", "/tmp/degen_s_dirty", write_events_dirty),
+    ("stream_future", "/tmp/degen_s_future", write_events_future),
 ]
 
 
@@ -368,6 +390,44 @@ def write_embeddings(sfdir: str) -> None:
         (15, vec(5), 2),                     # exact duplicate of vec 5
     ] + [(i, vec(i), i % 5) for i in range(5, 15)]
     vecs.sort()
+    t = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[2] for v in vecs], pa.int32()),
+    })
+    pq.write_table(t, f"{sfdir}/embeddings.parquet")
+
+
+def write_embeddings_dirty(sfdir: str) -> None:
+    """MALFORMED-vector corpus (r12): non-finite components, NULL
+    elements, truncated/overlong/empty vectors, NULL embedding rows —
+    the corrupt-row classes a failed upstream encoder or a truncated
+    parquet write produces at 100 TB. The probe (vec_id 0) and a
+    majority of rows stay clean so every key still has real work."""
+    def vec(seed: int):
+        return [((seed * 37 + i * 13) % 19 - 9) / 8.0 for i in range(64)]
+
+    nan_v = vec(6); nan_v[17] = float("nan")       # one NaN component
+    inf_v = vec(7); inf_v[3] = float("inf")        # one +Inf component
+    ninf_v = vec(8); ninf_v[63] = float("-inf")    # -Inf in the last slot
+    nullel = vec(9); nullel[5] = None              # NULL element mid-vector
+    vecs = [
+        (0, vec(1), 0),          # the clean probe
+        (1, vec(2), 1),
+        (2, vec(3), 2),
+        (3, vec(4), 0),
+        (4, vec(5), 1),
+        (5, nan_v, 2),
+        (6, inf_v, 0),
+        (7, ninf_v, 1),
+        (8, nullel, 2),
+        (9, vec(10)[:32], 0),    # truncated: 32 of 64 dims
+        (10, vec(11) + [1.0] * 16, 1),  # overlong: 80 dims
+        (11, [], 2),             # empty vector
+        (12, None, 0),           # NULL embedding row
+        (13, vec(12), 1),
+        (14, vec(13), 2),
+    ]
     t = pa.table({
         "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
         "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
@@ -826,8 +886,8 @@ def main() -> None:
     # gate; a refactor that loses a family must fail HERE, not silently
     # skip it (r11 ADVICE — the r11 fresh-machine crash was exactly a
     # corpus-list drift between modes).
-    assert len(STREAM_CORPORA) == 5, \
-        f"expected 5 streaming corpora, found {len(STREAM_CORPORA)}"
+    assert len(STREAM_CORPORA) == 6, \
+        f"expected 6 streaming corpora, found {len(STREAM_CORPORA)}"
     mode = sys.argv[1] if len(sys.argv) > 1 else None
     if mode == "stream":
         sys.exit(0 if run_stream() else 1)
