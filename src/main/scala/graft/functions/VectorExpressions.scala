@@ -13,6 +13,17 @@ import org.apache.spark.sql.types._
   * dominated the similarity benchmarks at sf0.1; this generates a tight
   * primitive loop instead).
   *
+  * Semantic contract (r12, unified with the HOF form on ALL inputs):
+  * `dot_f32(a, b)` ≡ `aggregate(zip_with(a, b, (x, y) ->
+  * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)`.
+  * In particular: mismatched lengths → NULL (zip_with pads the shorter
+  * side with NULL, which propagates through the fold), any NULL element
+  * → NULL, two empty arrays → 0.0. The original min-length loop silently
+  * computed a PARTIAL dot for a truncated vector and read NULL slots as
+  * 0.0f garbage — exactly the corrupt-row classes the emb_dirty corpus
+  * injects — so a malformed embedding now yields the SQL spelling of
+  * "undefined" instead of a plausible wrong similarity.
+  *
   * Arithmetic contract (oracle parity): identical to the HOF form and the
   * DuckDB fragment — left-to-right accumulation in DOUBLE of
   * (double)a[i] * (double)b[i]. Same op order ⇒ bit-identical results.
@@ -23,15 +34,21 @@ case class DotF32(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -41,12 +58,17 @@ case class DotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -59,8 +59,62 @@ object Similarity extends QueryModule {
   // side guards the denominator; zero embeddings are a real 100 TB class
   // (failed upstream encoders emit them) exercised by the degenerate
   // embeddings corpus in tools/degen_check.py.
+  //
+  // nanvl(·, NULL): a NON-FINITE component (NaN/±Inf — corrupt encoder
+  // output) always lands the cosine on NaN (any Inf reaches Inf/Inf via
+  // the norm product), and NaN sorts ABOVE every real similarity in
+  // BOTH engines' desc ordering — one corrupt row would silently win
+  // every top-k. Same verdict as the zero vector: undefined → NULL,
+  // which sorts LAST desc in both engines (emb_dirty corpus, r12).
   private def cosine(a: String, b: String): String =
-    s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), CAST(0 AS DOUBLE))"
+    s"nanvl(${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), CAST(0 AS DOUBLE)), CAST(NULL AS DOUBLE))"
+
+  /** MALFORMED-VECTOR CONTRACT (r12, pinned by the emb_dirty family in
+    * tools/degen_check.py). A 100 TB embedding corpus routinely carries
+    * corrupt rows — truncated/overlong lists, NULL rows, NULL elements,
+    * non-finite components — and one such row must neither kill a job
+    * (the old ANSI element_at / UDAF-require / encoder-NPE crashes) nor
+    * silently win a top-k (NaN sorts greatest desc in both engines;
+    * DuckDB even totally orders NaN > 0 where Spark is IEEE, so LSH
+    * bucket bits on a NaN vector DIVERGE cross-engine).
+    *
+    * Two tiers, two uses:
+    * - wellFormed: exactly 64 non-NULL components — required for any
+    *   vector ARITHMETIC to be defined; scoring keys emit NULL for
+    *   anything else (dot_f32's HOF-parity NULL does most of this).
+    * - usable: wellFormed AND all components finite — required for
+    *   index/structure MEMBERSHIP (LSH buckets, IVF cells, centroid
+    *   training, vector averages), where one bad row poisons whole
+    *   cells; such rows are filtered out of the structure, exactly what
+    *   a production ANN index build does, and the filter is the
+    *   documented drop-not-kill rule (mirrors the TSV ingest surface).
+    */
+  private def wellFormed(e: String): String =
+    s"(size($e) = 64 AND NOT exists($e, x -> x IS NULL))"
+  private def duckWellFormed(e: String): String =
+    s"(len($e) = 64 AND list_count($e) = 64)"
+  // usable spelled through the codegen'd SELF-DOT, not an interpreted
+  // exists() lambda: dot_f32(e,e) is NULL iff a component is NULL
+  // (HOF-parity), NaN iff one is NaN, +Inf iff one is ±Inf (squares; 64
+  // finite f32 squares can't overflow a double: ≤ 64·(3.4e38)² ≈ 7e78),
+  // so one tight JIT'd loop decides validity — measurably cheaper than
+  // per-element lambda dispatch on a 100 TB scan, and the whole-stage
+  // codegen subexpression elimination shares the dot across the three
+  // predicates.
+  private def usableVec(e: String): String =
+    s"(size($e) = 64 AND dot_f32($e, $e) IS NOT NULL" +
+      s" AND NOT isnan(dot_f32($e, $e))" +
+      s" AND dot_f32($e, $e) <> CAST('Infinity' AS DOUBLE))"
+  private def duckUsableVec(e: String): String =
+    s"(len($e) = 64 AND len(list_filter($e, x -> x IS NULL OR NOT isfinite(x))) = 0)"
+
+  /** Oracle twin of Spark's pmod(label, IvfCells) cell fold: DuckDB %
+    * preserves sign where pmod is non-negative, so a NEGATIVE label
+    * (signed-hash/corrupt metadata — emb_dirty corpus) would silently
+    * land in a different cell space under a bare `%`.
+    */
+  private def duckCell: String =
+    s"(((label % $IvfCells) + $IvfCells) % $IvfCells)"
 
   /** Same arithmetic via the codegen'd native expression (graft.functions
     * .DotF32) — used on the hot paths; `expr_cosine` keeps the pure-HOF
@@ -68,17 +122,28 @@ object Similarity extends QueryModule {
     */
   private def ndot(a: String, b: String): String = s"dot_f32($a, $b)"
   private def ncosine(a: String, b: String): String =
-    s"${ndot(a, b)} / nullif(sqrt(${ndot(a, a)}) * sqrt(${ndot(b, b)}), CAST(0 AS DOUBLE))"
+    s"nanvl(${ndot(a, b)} / nullif(sqrt(${ndot(a, a)}) * sqrt(${ndot(b, b)}), CAST(0 AS DOUBLE)), CAST(NULL AS DOUBLE))"
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Oracle twin of the guarded r6(cosine): NULL unless both vectors are
+    * wellFormed (duckDot's list_sum SKIPS the NULL products a malformed
+    * list produces, so an unguarded oracle would emit a plausible
+    * partial-sum cosine where Spark's HOF/dot_f32 parity says NULL) and
+    * the value is a number (NaN → NULL, the nanvl twin; a zero vector's
+    * 0/0 is already NULL via DuckDB division semantics).
+    */
+  private def duckCosineSafe(a: String, b: String): String =
+    s"(CASE WHEN ${duckWellFormed(a)} AND ${duckWellFormed(b)} AND NOT isnan(${duckCosine(a, b)}) THEN round(${duckCosine(a, b)}, 6) END)"
 
   /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe. */
   private def duckIvf(nprobe: Int): String = s"""
       WITH cent AS (
         SELECT cell, list(m ORDER BY i) AS c FROM (
-          SELECT label % $IvfCells AS cell, i,
+          SELECT ${duckCell} AS cell, i,
                  avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
           FROM embeddings, range(1, 65) t(i)
+          WHERE ${duckUsableVec("embedding")}
           GROUP BY cell, i)
         GROUP BY cell),
       probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
@@ -93,7 +158,8 @@ object Similarity extends QueryModule {
       SELECT vec_id, label,
              round(${duckCosine("embedding", "p")}, 6) AS cos
       FROM embeddings, probe, best
-      WHERE label % $IvfCells = best.cell AND vec_id <> 0
+      WHERE ${duckCell} = best.cell AND vec_id <> 0
+        AND ${duckUsableVec("embedding")}
       ORDER BY cos DESC, vec_id LIMIT 5
     """
 
@@ -116,9 +182,14 @@ object Similarity extends QueryModule {
     * with the codegen'd r6-rounded cosine — the shared head of the
     * brute-force top-k, range-search, and IVF in-cell rank stages.
     */
-  private def probeScored(s: SparkSession, d: String): DataFrame = {
+  private def probeScored(s: SparkSession, d: String,
+                          onlyUsable: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = embeddings(s, d)
+    val e0 = embeddings(s, d)
+    // Index-backed searches (IVF) score index MEMBERS only — malformed
+    // vectors were never admitted to the structure. Brute-force keys
+    // keep every row addressable and answer NULL for the unscorable.
+    val e = if (onlyUsable) e0.filter(expr(usableVec("embedding"))) else e0
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
     e.filter(col("vec_id") =!= 0)
@@ -163,7 +234,11 @@ object Similarity extends QueryModule {
   private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     registerMeanVec(s)
-    val e = embeddings(s, d)
+    // Only usable vectors train cells or live in them (malformed-vector
+    // contract above): one NaN component would NaN a centroid dimension
+    // and a dimension mismatch is a loud UDAF require — both are
+    // drop-not-kill at this surface.
+    val e = embeddings(s, d).filter(expr(usableVec("embedding")))
     val cents = trainCentroids(e)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
@@ -175,8 +250,13 @@ object Similarity extends QueryModule {
         r6(expr(s"$dotPC / nullif(sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC), CAST(0 AS DOUBLE))")).as("ccos"))
       .orderBy(desc("ccos"), col("cell"))
       .limit(nprobe)
-    scored(probeScored(s, d)
-        .join(broadcast(bestCells), col("label") === col("cell")))
+    // Join on the SAME pmod fold the trainer uses — a raw label
+    // comparison silently drops negative labels out of their own cell
+    // (identical at fixture alphabets, wrong on signed-hash metadata;
+    // emb_dirty corpus).
+    scored(probeScored(s, d, onlyUsable = true)
+        .join(broadcast(bestCells),
+          pmod(col("label"), lit(IvfCells)) === col("cell")))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
@@ -204,7 +284,13 @@ object Similarity extends QueryModule {
     // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
     "sim_ann_lsh" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
+      // usable-filter BEFORE bucketing: ANSI element_at(emb, i..64)
+      // THROWS on a truncated vector (one corrupt row killed the whole
+      // index build — emb_dirty corpus), and NaN sign bits diverge
+      // cross-engine (Spark IEEE NaN > 0 = false, DuckDB total order
+      // NaN > 0 = true). An index admits usable vectors only.
       val e = embeddings(s, d)
+        .filter(expr(usableVec("embedding")))
         .withColumn("bucket", expr(sparkBucket("embedding")))
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
@@ -221,7 +307,9 @@ object Similarity extends QueryModule {
     // standard recall knob, 9/256 of the data instead of 1/256.
     "sim_ann_multiprobe" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
+      // Same usable-filter-before-bucketing rule as sim_ann_lsh.
       val e = embeddings(s, d)
+        .filter(expr(usableVec("embedding")))
         .withColumn("bucket", expr(sparkBucket("embedding")))
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
@@ -273,7 +361,11 @@ object Similarity extends QueryModule {
       // assignment cross join is small enough that the exchange costs
       // more than the serial compute it parallelizes. See
       // Dedup.codesDS for the same adjudication on the text side.)
+      // usable only (malformed-vector contract): a corrupt row must not
+      // poison centroid training, and its "nearest neighbor" is
+      // undefined — near-dup detection runs over the scorable corpus.
       val e = embeddings(s, d)
+        .filter(expr(usableVec("embedding")))
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
       // Coarse quantizer "training": shared trainCentroids recipe
@@ -314,10 +406,16 @@ object Similarity extends QueryModule {
     // (sums[64], count) partial state — map-side combine, one shuffle.
     "udaf_vector_avg" -> ((s, d) => {
       registerMeanVec(s)
+      graft.functions.VectorFunctions.register(s) // usableVec needs dot_f32
       // Output is exploded to (label, n_vecs, dim, mean_val) scalar rows:
       // the driver's compare sorts rows with pandas, which cannot order an
       // array-valued column (r1 udaf_vector_avg failed exactly there).
+      // usable only: one truncated vector is a loud UDAF require, one
+      // NULL row an encoder NPE, one NaN component a silently-NaN mean
+      // dimension (emb_dirty corpus) — vector aggregates run over the
+      // usable corpus, n_vecs counts what the mean actually averaged.
       embeddings(s, d)
+        .filter(expr(usableVec("embedding")))
         .groupBy(col("label"))
         .agg(expr("mean_vec(embedding)").as("mv"), count(lit(1)).as("n_vecs"))
         .select(col("label"), col("n_vecs"), posexplode(col("mv")))
@@ -335,7 +433,13 @@ object Similarity extends QueryModule {
         .filter(col("lang").isin("en", "de") && col("label") < 5)
         .select(col("doc_id"), col("lang"), col("label"),
           size(split(col("text"), " ")).as("n_tokens"),
-          r6(expr(s"sqrt(${ndot("embedding", "embedding")})")).as("vec_norm"))
+          // Fixed-shape-tensor contract: the norm is defined only for a
+          // wellFormed (64 non-NULL dims) vector — NULL otherwise; the
+          // row itself survives (its text features are still valid).
+          // Non-finite components propagate honestly (NaN/Inf norm,
+          // identical in both engines).
+          when(expr(wellFormed("embedding")),
+            r6(expr(s"sqrt(${ndot("embedding", "embedding")})"))).as("vec_norm"))
     }),
 
     // Multimodal binary column pipeline: text → opaque bytes → per-
@@ -390,7 +494,7 @@ object Similarity extends QueryModule {
     "sim_topk_neighbors" -> s"""
       WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
       SELECT vec_id, label,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
+             ${duckCosineSafe("embedding", "p")} AS cos
       FROM embeddings, probe
       WHERE vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 10
@@ -399,8 +503,9 @@ object Similarity extends QueryModule {
     "expr_cosine" -> s"""
       WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
       SELECT vec_id,
-             round(${duckDot("embedding", "p")}, 6) AS dot,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
+             CASE WHEN ${duckWellFormed("embedding")} AND ${duckWellFormed("p")}
+                  THEN round(${duckDot("embedding", "p")}, 6) END AS dot,
+             ${duckCosineSafe("embedding", "p")} AS cos
       FROM embeddings, probe
       WHERE vec_id > 0 AND vec_id <= 100
       ORDER BY vec_id
@@ -409,7 +514,7 @@ object Similarity extends QueryModule {
     "sim_ann_lsh" -> s"""
       WITH b AS (
         SELECT vec_id, label, embedding, ${duckBucket("embedding")} AS bucket
-        FROM embeddings),
+        FROM embeddings WHERE ${duckUsableVec("embedding")}),
       probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
       SELECT vec_id, label, bucket,
              round(${duckCosine("embedding", "p")}, 6) AS cos
@@ -421,7 +526,7 @@ object Similarity extends QueryModule {
     "sim_ann_multiprobe" -> s"""
       WITH b AS (
         SELECT vec_id, label, embedding, ${duckBucket("embedding")} AS bucket
-        FROM embeddings),
+        FROM embeddings WHERE ${duckUsableVec("embedding")}),
       probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
       SELECT vec_id, label, bucket,
              round(${duckCosine("embedding", "p")}, 6) AS cos
@@ -437,9 +542,9 @@ object Similarity extends QueryModule {
     "sim_range_search" -> s"""
       WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
       SELECT vec_id, label,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
+             ${duckCosineSafe("embedding", "p")} AS cos
       FROM embeddings, probe
-      WHERE vec_id <> 0 AND round(${duckCosine("embedding", "p")}, 6) >= 0.2
+      WHERE vec_id <> 0 AND ${duckCosineSafe("embedding", "p")} >= 0.2
       ORDER BY vec_id
     """,
 
@@ -449,15 +554,16 @@ object Similarity extends QueryModule {
     "dedup_embed_cosine" -> s"""
       WITH cent AS (
         SELECT cell, list(m ORDER BY i) AS c FROM (
-          SELECT label % $IvfCells AS cell, i,
+          SELECT ${duckCell} AS cell, i,
                  avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
           FROM embeddings, range(1, 65) t(i)
+          WHERE ${duckUsableVec("embedding")}
           GROUP BY cell, i)
         GROUP BY cell),
       n AS (
         SELECT vec_id, embedding,
                sqrt(${duckDot("embedding", "embedding")}) AS norm
-        FROM embeddings),
+        FROM embeddings WHERE ${duckUsableVec("embedding")}),
       assigned AS (
         SELECT vec_id, embedding, norm, cell,
                round(
@@ -483,13 +589,15 @@ object Similarity extends QueryModule {
       ORDER BY vec_id
     """,
 
-    "udaf_vector_avg" -> """
-      WITH per_dim AS (
+    "udaf_vector_avg" -> s"""
+      WITH u AS (
+        SELECT * FROM embeddings WHERE ${duckUsableVec("embedding")}),
+      per_dim AS (
         SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-        FROM embeddings, range(1, 65) t(i)
+        FROM u, range(1, 65) t(i)
         GROUP BY label, i)
       SELECT label,
-             (SELECT count(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vecs,
+             (SELECT count(*) FROM u e WHERE e.label = per_dim.label) AS n_vecs,
              CAST(i AS INT) AS dim, round(m, 6) AS mean_val
       FROM per_dim
       ORDER BY label, dim
@@ -498,7 +606,9 @@ object Similarity extends QueryModule {
     "multimodal_join" -> s"""
       SELECT doc_id, lang, label,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-             round(sqrt(${duckDot("embedding", "embedding")}), 6) AS vec_norm
+             CASE WHEN ${duckWellFormed("embedding")}
+                  THEN round(sqrt(${duckDot("embedding", "embedding")}), 6)
+             END AS vec_norm
       FROM documents JOIN embeddings ON doc_id = vec_id
       WHERE lang IN ('en', 'de') AND label < 5
       ORDER BY doc_id

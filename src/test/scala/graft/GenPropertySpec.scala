@@ -814,4 +814,41 @@ class GenPropertySpec extends AnyFunSuite {
       }
     } finally reap(dir)
   }
+
+  // dot_f32's r12 contract: EXACT equivalence with the HOF
+  // zip_with/aggregate fold on every input class — mismatched lengths
+  // (zip_with NULL-pads → NULL), NULL elements (→ NULL), empty arrays
+  // (→ 0.0), non-finite components (NaN/Inf propagate bit-identically).
+  // The pre-r12 min-length loop silently computed PARTIAL dots for
+  // truncated vectors and read NULL slots as 0.0f — this property is
+  // the regression pin for that malformed-vector class (emb_dirty).
+  test("dot_f32 equals the HOF zip_with fold on malformed and clean vectors") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val elemGen: Gen[Option[Float]] = Gen.frequency(
+      12 -> Gen.chooseNum(-100, 100).map(n => Some(n / 8.0f)),
+      1 -> Gen.const(Option.empty[Float]),
+      1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity).map(Some(_)))
+    val vecGen: Gen[Seq[Option[Float]]] = for {
+      n <- Gen.frequency(5 -> Gen.const(8), 2 -> Gen.chooseNum(0, 12))
+      xs <- Gen.listOfN(n, elemGen)
+    } yield xs
+    forAll(Gen.listOfN(16, Gen.zip(vecGen, vecGen))) { pairs =>
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val got = rows.toDF("id", "a", "b")
+        .select(col("id"),
+          expr("dot_f32(a, b)").as("native"),
+          expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+        .collect()
+      got.foreach { r =>
+        val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+        val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+        // java.lang.Double.equals is NaN-reflexive and bit-exact.
+        assert((n == null && h == null) || (n != null && n.equals(h)),
+          s"id=${r.getLong(0)}: dot_f32=$n hof=$h " +
+            s"for a=${pairs(r.getLong(0).toInt)._1} b=${pairs(r.getLong(0).toInt)._2}")
+      }
+    }
+  }
 }

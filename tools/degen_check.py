@@ -427,6 +427,12 @@ def write_embeddings_dirty(sfdir: str) -> None:
         (12, None, 0),           # NULL embedding row
         (13, vec(12), 1),
         (14, vec(13), 2),
+        # NEGATIVE labels (signed-hash/corrupt metadata): the IVF cell
+        # fold must agree cross-engine — Spark pmod is non-negative,
+        # DuckDB % preserves sign, so a bare % oracle silently splits
+        # the cell space.
+        (15, vec(14), -3),
+        (16, vec(15), -2147483645),
     ]
     t = pa.table({
         "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
@@ -869,16 +875,25 @@ def run_default() -> bool:
     write_events_dirty("/tmp/degen_ev_dirty")
     dirty_batch_keys = ",".join(
         k for k in EVENT_KEYS.split(",") if k != "win_range_numeric")
+    # Malformed vectors through the similarity keys (r12): before the
+    # malformed-vector contract landed, this corpus crashed 5 keys (ANSI
+    # element_at on truncated vectors, UDAF require / encoder NPE on
+    # NULL rows) and silently diverged the other 5 (DotF32 min-length
+    # partial dots, DuckDB list_sum NULL-skip, NaN top-k pollution).
+    os.makedirs("/tmp/degen_emb_dirty", exist_ok=True)
+    write_documents("/tmp/degen_emb_dirty")
+    write_embeddings_dirty("/tmp/degen_emb_dirty")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_evd = run_family("events_dirty", "/tmp/degen_ev_dirty", dirty_batch_keys)
     ok_time = run_family("time", "/tmp/degen_time",
                          EVENT_KEYS + "," + TIME_EXTRA_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
+    ok_embd = run_family("emb_dirty", "/tmp/degen_emb_dirty", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    return (ok_docs and ok_ev and ok_evd and ok_time and ok_emb and ok_part
-            and ok_uni and run_stream())
+    return (ok_docs and ok_ev and ok_evd and ok_time and ok_emb and ok_embd
+            and ok_part and ok_uni and run_stream())
 
 
 def main() -> None:
