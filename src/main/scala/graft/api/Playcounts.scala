@@ -91,8 +91,14 @@ final class Playcounts(counts: DataFrame) {
   /** Sliding "last N days" ending at `asOf` (the reference anchors at
     * today; explicit anchor keeps the library deterministic).
     */
-  def lastN(file: String, asOf: java.sql.Date, n: Int): DataFrame =
+  def lastN(file: String, asOf: java.sql.Date, n: Int): DataFrame = {
+    // Loud contract: n <= 0 is caller garbage — a silent empty-range
+    // zero-total for a known file would be indistinguishable from "no
+    // plays in the window" (same loud-beats-silent rule as the
+    // batch value-domain keys).
+    require(n > 0, s"lastN window must be positive, got $n")
     dateRangeCount(file, java.sql.Date.valueOf(asOf.toLocalDate.minusDays(n - 1L)), asOf)
+  }
 
   def last30(file: String, asOf: java.sql.Date): DataFrame = lastN(file, asOf, 30)
   def last90(file: String, asOf: java.sql.Date): DataFrame = lastN(file, asOf, 90)

@@ -145,6 +145,17 @@ class ApiSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("total") == 4L) // only day2 inside [03-02, 03-31]
   }
 
+  test("lastN rejects non-positive windows loudly") {
+    val pc = new api.Playcounts(counts)
+    val e = intercept[IllegalArgumentException] {
+      pc.lastN("Cat video.webm", Date.valueOf("2024-03-30"), 0)
+    }
+    assert(e.getMessage.contains("lastN window must be positive"))
+    intercept[IllegalArgumentException] {
+      pc.lastN("Cat video.webm", Date.valueOf("2024-03-30"), -30)
+    }
+  }
+
   test("categoryCount broadcast roll-up") {
     import spark.implicits._
     val members = Seq(

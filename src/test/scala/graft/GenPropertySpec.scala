@@ -836,18 +836,34 @@ class GenPropertySpec extends AnyFunSuite {
     } yield xs
     forAll(Gen.listOfN(16, Gen.zip(vecGen, vecGen))) { pairs =>
       val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
-      val got = rows.toDF("id", "a", "b")
+      def run(): Array[org.apache.spark.sql.Row] = rows.toDF("id", "a", "b")
         .select(col("id"),
           expr("dot_f32(a, b)").as("native"),
           expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
         .collect()
-      got.foreach { r =>
-        val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
-        val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
-        // java.lang.Double.equals is NaN-reflexive and bit-exact.
-        assert((n == null && h == null) || (n != null && n.equals(h)),
-          s"id=${r.getLong(0)}: dot_f32=$n hof=$h " +
-            s"for a=${pairs(r.getLong(0).toInt)._1} b=${pairs(r.getLong(0).toInt)._2}")
+      def check(got: Array[org.apache.spark.sql.Row], path: String): Unit =
+        got.foreach { r =>
+          val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+          val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+          // java.lang.Double.equals is NaN-reflexive and bit-exact.
+          assert((n == null && h == null) || (n != null && n.equals(h)),
+            s"[$path] id=${r.getLong(0)}: dot_f32=$n hof=$h " +
+              s"for a=${pairs(r.getLong(0).toInt)._1} b=${pairs(r.getLong(0).toInt)._2}")
+        }
+      check(run(), "codegen")
+      // DotF32 carries two independent implementations (nullSafeEval and
+      // doGenCode) — force the INTERPRETED expression path and require
+      // identical results, or a divergence would hide until a
+      // codegen-fallback production run hit it.
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        check(run(), "interpreted")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm)
       }
     }
   }

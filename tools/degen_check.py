@@ -131,6 +131,38 @@ def write_documents(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/documents.parquet")
 
 
+def write_documents_dup(sfdir: str) -> None:
+    """DUPLICATE-SATURATION corpus (r12): the dedup family's worst case
+    is a corpus that is MOSTLY one document — an 8-way exact-dup clique
+    (every MinHash band collides → the full candidate clique; survivor
+    tie-breaks must stay deterministic), a 3-way near-dup set (one
+    trailing token changed), a whitespace variant (exact misses it,
+    normalized catches it), one unique doc, and one empty doc. Text
+    analytics hit their saturation edges too: shared tokens reach
+    df = N (idf → 0 in tfidf), and under the 5% document-frequency cap
+    EVERY shingle of the dup clique is capped — the capped variant
+    finding no candidates on an all-dup corpus is the documented cap
+    semantics, pinned here."""
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog naps in the warm sun all afternoon long")
+    rows = (
+        [(i, base, "en", "web") for i in range(1, 9)] +      # 8 exact dups
+        [(9, base[:-4] + "week", "en", "web"),               # near-dups:
+         (10, base[:-4] + "year", "en", "web"),              # last token
+         (11, base[:-4] + "day", "en", "web")] +             # swapped
+        [(12, "  " + base.replace(" ", "  ") + " ", "en", "web"),  # ws variant
+         (13, "completely different content about databases", "de", "web"),
+         (14, "", "fr", "web")])
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, f"{sfdir}/documents.parquet")
+
+
 def write_events(sfdir: str) -> None:
     ts = dt.datetime.fromisoformat
     rows, eid = [], 0
@@ -883,7 +915,16 @@ def run_default() -> bool:
     os.makedirs("/tmp/degen_emb_dirty", exist_ok=True)
     write_documents("/tmp/degen_emb_dirty")
     write_embeddings_dirty("/tmp/degen_emb_dirty")
+    # Duplicate-saturation through the dedup/text keys (r12): negative
+    # result pinned — the 11-doc dup clique surfaces all C(11,2)=55
+    # candidate pairs in minhash/jaccard/simhash, cluster_cc converges
+    # to one 11-member cluster, and the 5% df-cap variant finds ZERO
+    # candidates on a saturated corpus (documented cap semantics).
+    os.makedirs("/tmp/degen_docs_dup", exist_ok=True)
+    write_documents_dup("/tmp/degen_docs_dup")
+    write_embeddings("/tmp/degen_docs_dup")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
+    ok_dup = run_family("docs_dup", "/tmp/degen_docs_dup", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
     ok_evd = run_family("events_dirty", "/tmp/degen_ev_dirty", dirty_batch_keys)
     ok_time = run_family("time", "/tmp/degen_time",
@@ -892,8 +933,8 @@ def run_default() -> bool:
     ok_embd = run_family("emb_dirty", "/tmp/degen_emb_dirty", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    return (ok_docs and ok_ev and ok_evd and ok_time and ok_emb and ok_embd
-            and ok_part and ok_uni and run_stream())
+    return (ok_docs and ok_dup and ok_ev and ok_evd and ok_time and ok_emb
+            and ok_embd and ok_part and ok_uni and run_stream())
 
 
 def main() -> None:
