@@ -282,8 +282,14 @@ object Dedup extends QueryModule {
     // Normalized exact dedup: canonicalize (lowercase, collapse runs of
     // whitespace, trim) BEFORE hashing — catches trivially-reformatted
     // copies that byte-exact dedup misses; still one hash shuffle.
+    // The whitespace class is spelled out rather than written `\s`
+    // because the engines' `\s` genuinely differ on ONE char: Java
+    // includes vertical tab \x0B, RE2 (DuckDB) does not — a silent
+    // canon-hash divergence on any document containing a VT (measured
+    // r12). The explicit class is exactly Java's `\s`, so the product
+    // semantics are unchanged and both engines now agree on all input.
     "dedup_exact_normalized" -> ((s, d) => {
-      val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val canon = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))
       documents(s, d)
         .groupBy(sha2(canon, 256).as("canon_sha"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -501,7 +507,7 @@ object Dedup extends QueryModule {
       """,
 
       "dedup_exact_normalized" -> """
-        SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon_sha,
+        SELECT sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS canon_sha,
                min(doc_id) AS canonical_id, count(*) AS n_copies
         FROM documents
         GROUP BY 1 HAVING count(*) > 1

@@ -92,15 +92,34 @@ object Functions extends QueryModule {
           (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"))
     }),
 
+    // Dirty-domain contract (r12), same shape as fn_trig's:
+    // - sqrt: Spark NaN on negatives, DuckDB throws → negatives NULL on
+    //   both sides (NaN stays NaN: sqrt(NaN) = NaN in both).
+    // - ln: Spark already answers NULL on ≤ 0 where DuckDB throws — the
+    //   ORACLE mirrors Spark's domain with a CASE; product unchanged.
+    // - floor/ceil: Spark's double→long saturates SILENTLY outside long
+    //   range (floor(1e300) = Long.Max, floor(NaN) = 0 — the
+    //   agg_histogram class) where DuckDB's BIGINT cast throws → both
+    //   sides NULL outside ±9.2e18 (conservative in-long-range bound;
+    //   NaN/±Inf fail BETWEEN in both engines).
+    // - round/abs/greatest/least: total and identical in both engines on
+    //   every dirty class (NaN is greatest, least skips it) — bare.
     "fn_math" -> ((s, d) => {
+      val price = col("l_extendedprice")
+      val inLong = price.between(-9.2e18, 9.2e18)
       lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
+        // + 0.0 normalizes the sign of zero (IEEE identity elsewhere,
+        // NaN/Inf included): Spark's BigDecimal HALF_UP round drops
+        // -0.0's sign where DuckDB's std::round keeps it — the r3
+        // bit-sensitive-hash class, measured on round(-0.04, 1).
+        (round(price, 1) + 0.0).as("price_r1"),
         r6(abs(col("l_discount") - 0.05)).as("disc_dev"),
-        r6(sqrt(col("l_quantity"))).as("qty_sqrt"),
-        r6(log(col("l_extendedprice"))).as("price_ln"),
-        floor(col("l_extendedprice")).as("price_floor"),
-        ceil(col("l_extendedprice")).as("price_ceil"),
+        r6(when(col("l_quantity") >= 0 || isnan(col("l_quantity")),
+          sqrt(col("l_quantity")))).as("qty_sqrt"),
+        r6(log(price)).as("price_ln"),
+        when(inLong, floor(price)).as("price_floor"),
+        when(inLong, ceil(price)).as("price_ceil"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
         r6(greatest(col("l_tax"), col("l_discount"))).as("max_rate"),
         r6(least(col("l_tax"), col("l_discount"))).as("min_rate"))
@@ -145,17 +164,31 @@ object Functions extends QueryModule {
         expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
         col("p_name").rlike("^[a-f]").as("starts_af"),
         regexp_replace(col("p_name"), "^([a-z]+) ([a-z]+)$", "$2 $1").as("swapped"),
-        size(split(col("p_type"), "\\s+")).as("n_type_tokens"))
+        // Explicit class == Java's `\s`; RE2's `\s` lacks \x0B, so a
+        // bare `\s+` silently diverges from the oracle on vertical tabs
+        // (r12 probe — same fix as dedup_exact_normalized's canon).
+        size(split(col("p_type"), "[ \\t\\n\\x0B\\f\\r]+")).as("n_type_tokens"))
     }),
 
     // Trig/transcendental family. Both engines are libm-accurate (≤1 ulp);
     // r6 absorbs the cross-library ulp — same policy as every float key.
+    // Dirty-domain contract (r12): Java's sin/cos/tan return NaN on ±Inf
+    // where DuckDB THROWS Out of Range — so the periodic functions guard
+    // infinite inputs to NULL on BOTH sides (finite and NaN inputs take
+    // the natural libm path; NaN compares bit-equal at the gate). The
+    // non-periodic columns (atan/atan2/exp/cbrt/degrees/radians) are
+    // total and IEEE-identical in both engines on every input class —
+    // measured r12 — so they stay bare.
     "fn_trig" -> ((s, d) => {
+      val inf = lit(Double.PositiveInfinity)
+      def finOr(x: org.apache.spark.sql.Column)(
+          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        when(abs(x) =!= inf, f(x))
       lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        r6(sin(col("l_quantity"))).as("sin_q"),
-        r6(cos(col("l_discount") * 10)).as("cos_d"),
-        r6(tan(col("l_tax"))).as("tan_t"),
+        r6(finOr(col("l_quantity"))(sin)).as("sin_q"),
+        r6(finOr(col("l_discount") * 10)(cos)).as("cos_d"),
+        r6(finOr(col("l_tax"))(tan)).as("tan_t"),
         r6(atan2(col("l_tax"), col("l_discount") + 0.01)).as("atan2_td"),
         r6(degrees(atan(col("l_quantity") / 50.0))).as("deg_atan"),
         r6(radians(col("l_quantity"))).as("rad_q"),
@@ -198,19 +231,32 @@ object Functions extends QueryModule {
     // roundtrip tautology — Spark PARSES with parse_url (Java URI
     // semantics, codegen'd) while the oracle parses the same strings
     // with regexps; agreement certifies the parser, not the builder.
+    //
+    // Dirty-input contract (r12): one control char in a part string used
+    // to KILL the whole job — parse_url throws INVALID_URL where the
+    // oracle's regexps happily match anything. Both sides now NULL the
+    // built URL when it contains a char java.net.URI rejects (the
+    // explicit class below: ASCII controls, space, DEL, the RFC 3986
+    // "others" punct, and raw '%' — our builder never percent-encodes,
+    // so a raw % is always a malformed escape to URI). try_parse_url
+    // backstops anything Java rejects beyond the class: that would
+    // surface as NULL-vs-value at the gate, i.e. loudly, not as a crash.
     "fn_url" -> ((s, d) => {
       val url = concat(lit("https://files.example.org/wikipedia/commons/"),
         lower(regexp_replace(col("p_type"), " ", "-")), lit("/"),
         col("p_partkey"), lit(".ogg?size="), col("p_size"),
         lit("&brand="), regexp_replace(col("p_brand"), "#", "-"))
-      part(s, d).select(col("p_partkey"), url.as("url"))
+      val illegal = "[\\x00-\\x20\\x7F\"<>\\\\^`{|}\\[\\]%]"
+      part(s, d)
+        .select(col("p_partkey"),
+          when(!url.rlike(illegal), url).as("url"))
         .select(
           col("p_partkey"),
-          expr("parse_url(url, 'PROTOCOL')").as("proto"),
-          expr("parse_url(url, 'HOST')").as("host"),
-          expr("parse_url(url, 'PATH')").as("path"),
-          expr("parse_url(url, 'QUERY', 'size')").as("size_param"),
-          expr("parse_url(url, 'QUERY', 'brand')").as("brand_param"))
+          expr("try_parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("try_parse_url(url, 'HOST')").as("host"),
+          expr("try_parse_url(url, 'PATH')").as("path"),
+          expr("try_parse_url(url, 'QUERY', 'size')").as("size_param"),
+          expr("try_parse_url(url, 'QUERY', 'brand')").as("brand_param"))
     }),
 
     // Array ops + higher-order functions over tokenized text.
@@ -456,13 +502,24 @@ object Functions extends QueryModule {
 
     "fn_math" -> """
       SELECT l_orderkey, l_linenumber,
-             round(l_extendedprice, 1) AS price_r1,
+             -- + 0.0 mirrors the product's sign-of-zero normalization.
+             round(l_extendedprice, 1) + 0.0 AS price_r1,
              round(abs(l_discount - 0.05), 6) AS disc_dev,
-             round(sqrt(l_quantity), 6) AS qty_sqrt,
-             round(CASE WHEN l_extendedprice > 0
+             -- sqrt: negatives NULL (DuckDB would throw, Spark NaNs);
+             -- NaN passes through (sqrt(NaN) = NaN in both engines).
+             round(CASE WHEN l_quantity >= 0 OR isnan(l_quantity)
+                   THEN sqrt(l_quantity) END, 6) AS qty_sqrt,
+             -- ln: Spark's native domain — NULL on <= 0, NaN on NaN
+             -- (ln(NaN) = NaN in both; NaN > 0 is false in both).
+             round(CASE WHEN l_extendedprice > 0 OR isnan(l_extendedprice)
                    THEN ln(l_extendedprice) END, 6) AS price_ln,
-             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-             CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+             -- floor/ceil: NULL outside the in-long-range bound (Spark
+             -- saturates silently, DuckDB's BIGINT cast throws; NaN and
+             -- ±Inf fail BETWEEN in both engines).
+             CASE WHEN l_extendedprice BETWEEN -9.2e18 AND 9.2e18
+                  THEN CAST(floor(l_extendedprice) AS BIGINT) END AS price_floor,
+             CASE WHEN l_extendedprice BETWEEN -9.2e18 AND 9.2e18
+                  THEN CAST(ceil(l_extendedprice) AS BIGINT) END AS price_ceil,
              l_orderkey % 7 AS key_mod7,
              round(greatest(l_tax, l_discount), 6) AS max_rate,
              round(least(l_tax, l_discount), 6) AS min_rate
@@ -493,15 +550,21 @@ object Functions extends QueryModule {
              CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
              regexp_matches(p_name, '^[a-f]') AS starts_af,
              regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '\2 \1') AS swapped,
-             CAST(len(regexp_split_to_array(p_type, '\s+')) AS INT) AS n_type_tokens
+             CAST(len(regexp_split_to_array(p_type, '[ \t\n\x0B\f\r]+')) AS INT) AS n_type_tokens
       FROM part ORDER BY p_partkey
     """,
 
     "fn_trig" -> """
       SELECT l_orderkey, l_linenumber,
-             round(sin(l_quantity), 6) AS sin_q,
-             round(cos(l_discount * 10), 6) AS cos_d,
-             round(tan(l_tax), 6) AS tan_t,
+             -- Periodic functions: ±Inf NULL on both sides (DuckDB
+             -- throws Out of Range there, Java NaNs); NaN passes
+             -- through (sin(NaN) = NaN in both engines).
+             round(CASE WHEN NOT isinf(l_quantity)
+                   THEN sin(l_quantity) END, 6) AS sin_q,
+             round(CASE WHEN NOT isinf(l_discount * 10)
+                   THEN cos(l_discount * 10) END, 6) AS cos_d,
+             round(CASE WHEN NOT isinf(l_tax)
+                   THEN tan(l_tax) END, 6) AS tan_t,
              round(atan2(l_tax, l_discount + 0.01), 6) AS atan2_td,
              round(degrees(atan(l_quantity / 50.0)), 6) AS deg_atan,
              round(radians(l_quantity), 6) AS rad_q,
@@ -523,13 +586,20 @@ object Functions extends QueryModule {
     """,
 
     "fn_url" -> """
-      WITH u AS (
+      WITH built AS (
         SELECT p_partkey,
                'https://files.example.org/wikipedia/commons/' ||
                lower(replace(p_type, ' ', '-')) || '/' || p_partkey ||
                '.ogg?size=' || p_size || '&brand=' || replace(p_brand, '#', '-')
                  AS url
-        FROM part)
+        FROM part),
+      u AS (
+        -- Mirror of the product's java.net.URI-illegal guard: a URL
+        -- containing any of these chars is NULLed before parsing.
+        SELECT p_partkey,
+               CASE WHEN regexp_matches(url, '[\x00-\x20\x7F"<>\\^`{|}\[\]%]')
+                    THEN NULL ELSE url END AS url
+        FROM built)
       SELECT p_partkey,
              regexp_extract(url, '^([a-z]+)://', 1) AS proto,
              regexp_extract(url, '://([^/]+)', 1) AS host,

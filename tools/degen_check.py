@@ -131,6 +131,65 @@ def write_documents(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/documents.parquet")
 
 
+def write_lineitem_dirty(sfdir: str) -> None:
+    """Dirty doubles through the SCALAR math keys (r12): fn_math/fn_trig
+    project libm functions over lineitem's value columns, where the
+    engines' dirty-input behavior genuinely differs — DuckDB THROWS on
+    sin/cos/tan(±Inf), sqrt(<0) and ln(<=0) (Out of Range), Spark NaNs
+    or NULLs silently, Spark's floor/ceil(double)->long SATURATES
+    (floor(1e300) = Long.Max, floor(NaN) = 0) where DuckDB's BIGINT cast
+    throws, and Spark's BigDecimal round drops -0.0's sign where
+    DuckDB's std::round keeps it. The r12 contracts (periodic functions
+    NULL on ±Inf, sqrt NULL on negatives, floor/ceil NULL outside
+    ±9.2e18, + 0.0 zero-sign normalization on price_r1) make both
+    engines total and exactly equal on every row here; the agreeing
+    classes (NaN through sin/ln/round/greatest, 1e300 through sin's
+    argument reduction, subnormals, -0.0 through sqrt/duckRound) are
+    pinned bare."""
+    ts = dt.datetime.fromisoformat
+    nan, inf = float("nan"), float("inf")
+    # (okey, lnum, qty, price, disc, tax)
+    rows = [
+        (1, 1, 17.0, 21168.23, 0.04, 0.02),     # clean baseline
+        (2, 1, nan, 100.0, 0.05, 0.01),          # qty NaN: sin/sqrt NaN
+        (3, 1, inf, 101.0, 0.06, 0.03),          # qty +Inf: sin NULL, sqrt Inf
+        (4, 1, -inf, 102.0, 0.00, 0.04),         # qty -Inf: sin/sqrt NULL
+        (5, 1, -5.0, 103.0, 0.01, 0.05),         # qty<0: sqrt NULL, sin fine
+        (6, 1, 1e300, 104.0, 0.02, 0.06),        # huge arg: full reduction
+        (7, 1, 5e-324, 105.0, 0.03, 0.07),       # subnormal
+        (8, 1, -0.0, -0.0, 0.04, 0.08),          # -0.0: sqrt -0.0, round sign
+        (9, 1, 18.0, nan, 0.05, 0.00),           # price NaN: ln NaN, floor NULL
+        (10, 1, 19.0, inf, 0.06, 0.01),          # price +Inf: ln Inf, floor NULL
+        (11, 1, 20.0, -inf, 0.07, 0.02),         # price -Inf: ln/floor NULL
+        (12, 1, 21.0, 1e300, 0.08, 0.03),        # beyond long: floor/ceil NULL
+        (13, 1, 22.0, 9.0e18, 0.09, 0.04),       # inside bound: floor works
+        (14, 1, 23.0, 0.0, 0.10, 0.05),          # ln(0) NULL both
+        (15, 1, 24.0, -42.5, 0.00, 0.06),        # ln(<0) NULL, floor -43
+        (16, 1, 25.0, -0.04, 0.01, 0.07),        # round-to-zero: sign normalized
+        (17, 1, 26.0, 106.0, nan, 0.08),         # disc NaN: cos NaN, max_rate NaN
+        (18, 1, 27.0, 107.0, inf, 0.09),         # disc +Inf: cos NULL, exp Inf
+        (19, 1, 28.0, 108.0, -inf, 0.10),        # disc -Inf: cos NULL, exp 0
+        (20, 1, 29.0, 109.0, 0.02, inf),         # tax +Inf: tan NULL, atan2 pi/2
+        (21, 1, 30.0, 110.0, 0.03, -inf),        # tax -Inf: tan NULL
+        (22, 1, 31.0, 111.0, 0.04, nan),         # tax NaN: tan/atan2 NaN
+    ]
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([1] * len(rows), pa.int64()),
+        "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[3] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[4] for r in rows], pa.float64()),
+        "l_tax": pa.array([r[5] for r in rows], pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+        "l_shipdate": pa.array([ts("2024-03-01")] * len(rows),
+                               pa.timestamp("us")),
+    })
+    pq.write_table(t, f"{sfdir}/lineitem.parquet")
+
+
 def write_documents_dup(sfdir: str) -> None:
     """DUPLICATE-SATURATION corpus (r12): the dedup family's worst case
     is a corpus that is MOSTLY one document — an 8-way exact-dup clique
@@ -498,6 +557,10 @@ def write_part(sfdir: str) -> None:
         # DuckDB/utf8proc genuinely disagree there (measured r11).
         (13, "turkish brand", "ıssiz#9", "t u", 10, 13.0),
         (14, "turkish upper", "ISSIZ#9", "t u", 11, 14.0),
+        # Vertical tab in p_type: Java `\s` includes \x0B, RE2's does
+        # not — a bare `\s+` split diverged silently here until the r12
+        # explicit-class fix ([ \t\n\x0B\f\r]+ both sides). 3 tokens.
+        (15, "vt type row", "Brand#31", "a\x0bb\tc", 12, 15.0),
     ]
     t = pa.table({
         "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
@@ -625,6 +688,28 @@ UNI_ROWS = [
     # measured r11, pinned Spark-side in Round3Spec.
     (13, "ıssız kıyı yazı", "de", "web"),
     (14, "ISSIZ KIYI YAZI", "en", "web"),
+    # r12 additions — every row below is an AGREEING class, measured
+    # against both engines this round:
+    # Vertical tab: Java `\s` has \x0B, RE2's does not — the bare `\s+`
+    # canon collapse in dedup_exact_normalized silently diverged on VT
+    # until the explicit-class fix. Rows 15/16 must now land in the SAME
+    # canon group in BOTH engines (VT run collapses to one space).
+    (15, "vt\x0b\x0bspaced  variant doc", "en", "web"),
+    (16, "vt spaced variant doc", "en", "web"),
+    # Zero-width space and NBSP are NOT whitespace to either engine's
+    # tokenizer, `\s`, or trim — each stays inside its token.
+    (17, "zero\u200bwidth stays one token", "de", "web"),
+    (18, "nb\u00a0sp stays one token", "fr", "web"),
+    # Capital sharp s U+1E9E: lower() → ß in BOTH engines (unlike the
+    # excluded ß→SS upper class) — rows 19/20 must canon-merge.
+    (19, "STRAẞE route map", "en", "web"),
+    (20, "straße route map", "de", "web"),
+    # Uppercase Cherokee lowers to the Unicode-8 lowercase syllabary
+    # range identically in ICU and utf8proc; titlecase ǅ → ǆ agrees;
+    # standalone Σ (no preceding cased letter) → σ in both — ICU's
+    # context-sensitive final-sigma rule only fires mid-word.
+    (21, "ᏣᎳᎩ syllabary line", "en", "web"),
+    (22, "ǅungla Σ symbols", "fr", "web"),
 ]
 
 
@@ -923,6 +1008,13 @@ def run_default() -> bool:
     os.makedirs("/tmp/degen_docs_dup", exist_ok=True)
     write_documents_dup("/tmp/degen_docs_dup")
     write_embeddings("/tmp/degen_docs_dup")
+    # Dirty doubles through the scalar math keys (r12): the engines'
+    # libm-domain behavior genuinely differs on ±Inf/negatives/long-range
+    # (see write_lineitem_dirty) — the r12 domain contracts make both
+    # total; this family pins them plus the agreeing classes (NaN,
+    # subnormal, 1e300 reduction, -0.0).
+    os.makedirs("/tmp/degen_li_dirty", exist_ok=True)
+    write_lineitem_dirty("/tmp/degen_li_dirty")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_dup = run_family("docs_dup", "/tmp/degen_docs_dup", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
@@ -933,8 +1025,9 @@ def run_default() -> bool:
     ok_embd = run_family("emb_dirty", "/tmp/degen_emb_dirty", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
+    ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty", "fn_math,fn_trig")
     return (ok_docs and ok_dup and ok_ev and ok_evd and ok_time and ok_emb
-            and ok_embd and ok_part and ok_uni and run_stream())
+            and ok_embd and ok_part and ok_uni and ok_lid and run_stream())
 
 
 def main() -> None:
