@@ -131,6 +131,37 @@ def write_documents(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/documents.parquet")
 
 
+def write_documents_long(sfdir: str) -> None:
+    """LENGTH-EXTREME corpus (r12): document and token length are the
+    axes no other corpus stresses — the shingle/fingerprint/Misra-Gries
+    paths are all O(tokens) per doc and the oracles re-derive the same
+    arithmetic through DuckDB list HOFs, so a ~10k-token doc and a
+    single 64 KiB token pin that both sides stay exact (and tractable)
+    when per-row work is 1000x the fixture's. Deterministic modular
+    word sequence (no RNG), zipf-ish repetition via mod-37 fold."""
+    words = [f"w{i}" for i in range(37)]
+    long_tokens = [words[(i * i + 3 * i) % 37] for i in range(10_000)]
+    long_doc = " ".join(long_tokens)                  # ~30 KB, 10k tokens
+    mega_token = "x" * 65_536                          # one 64 KiB token
+    rows = [
+        (1, long_doc, "en", "web"),
+        (2, long_doc, "en", "crawl"),                  # exact dup of 1
+        (3, " ".join(long_tokens[:-1] + ["tail"]), "en", "web"),  # near-dup
+        (4, mega_token, "de", "web"),
+        (5, mega_token + " suffix token", "de", "web"),
+        (6, "short control doc here", "fr", "web"),
+        (7, "", "fr", "web"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, f"{sfdir}/documents.parquet")
+
+
 def write_lineitem_dirty(sfdir: str) -> None:
     """Dirty doubles through the SCALAR math keys (r12): fn_math/fn_trig
     project libm functions over lineitem's value columns, where the
@@ -1015,6 +1046,13 @@ def run_default() -> bool:
     # subnormal, 1e300 reduction, -0.0).
     os.makedirs("/tmp/degen_li_dirty", exist_ok=True)
     write_lineitem_dirty("/tmp/degen_li_dirty")
+    # Length extremes through the docs keys (r12): ~10k-token doc + a
+    # single 64 KiB token — negative result pinned first run (26/26
+    # cross-engine exact; per-row work 1000x the fixture's stays
+    # tractable on both sides).
+    os.makedirs("/tmp/degen_docs_long", exist_ok=True)
+    write_documents_long("/tmp/degen_docs_long")
+    write_embeddings("/tmp/degen_docs_long")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_dup = run_family("docs_dup", "/tmp/degen_docs_dup", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
@@ -1026,8 +1064,10 @@ def run_default() -> bool:
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
     ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty", "fn_math,fn_trig")
+    ok_long = run_family("docs_long", "/tmp/degen_docs_long", KEYS)
     return (ok_docs and ok_dup and ok_ev and ok_evd and ok_time and ok_emb
-            and ok_embd and ok_part and ok_uni and ok_lid and run_stream())
+            and ok_embd and ok_part and ok_uni and ok_lid and ok_long
+            and run_stream())
 
 
 def main() -> None:
