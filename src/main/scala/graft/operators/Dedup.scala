@@ -409,8 +409,24 @@ object Dedup extends QueryModule {
       while (newSum.isDefined && newSum != oldSum && round < 15) {
         val prop = und.join(labels, und("dst") === labels("id"))
           .select(und("src").as("id"), col("comp"))
-        labels = labels.union(prop)
+        val nbrMin = labels.union(prop)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        // Pointer jump: comp := min(comp, comp[comp]). Neighbor-min
+        // alone advances the min label ONE hop per round, so rounds =
+        // eccentricity from the component's min id — a 30-doc near-dup
+        // CHAIN (the shape versioned/boilerplate docs form at corpus
+        // scale) blew the loud 15-round bound (r12 docs_chain family,
+        // first run). The jump doubles the label's reach each round —
+        // O(log diameter) rounds, so the same bound now covers
+        // eccentricity ~2^14. comp values are always vertex ids (mins
+        // over ids), so the lookup is an equi-join back on labels; the
+        // left join + coalesce is only a guard. Cost: one extra
+        // id-pair join per round against exponentially fewer rounds.
+        val jump = nbrMin.select(col("id").as("jid"), col("comp").as("jcomp"))
+        labels = nbrMin.join(jump, col("comp") === col("jid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("jcomp"), col("comp")))
+              .as("comp"))
           .localCheckpoint(true)
         oldSum = newSum
         newSum = compSum()
@@ -418,9 +434,9 @@ object Dedup extends QueryModule {
       }
       // A silent non-converged exit would report one real cluster as two
       // components (and disagree with the oracle's transitive closure) —
-      // fail loudly instead. 15 rounds covers eccentricity ≤ 15 from the
-      // cluster's min id; real near-dup clusters are orders of magnitude
-      // shallower.
+      // fail loudly instead. With the jump, 15 rounds covers
+      // eccentricity ≲ 2^14 from the cluster's min id — beyond any real
+      // corpus shape.
       require(newSum == oldSum || newSum.isEmpty,
         s"dedup_cluster_cc did not converge within $round rounds")
       // The eager checkpoint makes final `labels` lineage-free, so the

@@ -102,6 +102,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(comp.forall(_._3 == 8L), s"cluster_size 8 everywhere: ${comp.toSeq}")
   }
 
+  test("cc: a DIAMETER-29 chain converges inside the round bound (pointer jumping)") {
+    // 30 sliding 16-token windows over 45 distinct tokens: adjacent docs
+    // share 13/15 shingles (Jaccard 0.867 ≥ 0.8), docs two apart only
+    // 12/16 = 0.75 — a pure path graph of diameter 29. Plain
+    // neighbor-min propagation needs 29 rounds (the loud 15-round bound
+    // fired here before the r12 pointer-jump fix); with comp :=
+    // min(comp, comp[comp]) each round doubles the min label's reach,
+    // so this must converge in ~⌈log₂ 29⌉ + slack rounds.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_deep").toString
+    val words = (0 until 45).map(i => f"tok$i%02d")
+    (0L until 30L).map { i =>
+      val text = words.slice(i.toInt, i.toInt + 16).mkString(" ")
+      (i + 1, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val comp = SparkEntry.queries("dedup_cluster_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comp.length == 30, s"all 30 chain docs must appear, got ${comp.length}")
+    assert(comp.forall(_._2 == 1L), s"single component rooted at doc 1: ${comp.toSeq}")
+    assert(comp.forall(_._3 == 30L), s"cluster_size 30 everywhere: ${comp.toSeq}")
+  }
+
   // VERDICT r9 task 6: the decontamination oracle's `n_shared >= 10`
   // threshold has never been exercised AT the boundary — fixture word
   // soup either overlaps heavily or not at all. Craft one train doc

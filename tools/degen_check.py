@@ -162,6 +162,32 @@ def write_documents_long(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/documents.parquet")
 
 
+def write_documents_chain(sfdir: str) -> None:
+    """TRANSITIVE-CHAIN corpus (r12): 30 docs where doc_i is a near-dup
+    of doc_{i+1} only (sliding 16-token windows over 45 distinct
+    tokens: consecutive docs share 13/15 shingles, jaccard 0.867 >= 0.8;
+    two apart share 12/16 = 0.75 < 0.8) — one connected component of
+    GRAPH DIAMETER 29, the shape versioned/boilerplate documents form
+    at corpus scale. Plain min-label propagation needs eccentricity
+    rounds (29 > the loud 15-round bound — the first run of this family
+    failed exactly there); pointer jumping (comp := min(comp,
+    comp[comp])) converges in O(log diameter) rounds. The recursive
+    oracle computes true closure, so the WHOLE chain must land in ONE
+    30-member cluster."""
+    words = [f"tok{i:02d}" for i in range(45)]
+    rows = [(i + 1, " ".join(words[i:i + 16]), "en", "web")
+            for i in range(30)]
+    rows.append((31, "an unrelated control document entirely", "de", "web"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, f"{sfdir}/documents.parquet")
+
+
 def write_lineitem_dirty(sfdir: str) -> None:
     """Dirty doubles through the SCALAR math keys (r12): fn_math/fn_trig
     project libm functions over lineitem's value columns, where the
@@ -1053,6 +1079,14 @@ def run_default() -> bool:
     os.makedirs("/tmp/degen_docs_long", exist_ok=True)
     write_documents_long("/tmp/degen_docs_long")
     write_embeddings("/tmp/degen_docs_long")
+    # Transitive 30-chain through the dedup graph keys (r12): diameter-29
+    # component — plain min-label propagation loudly blew the 15-round
+    # bound here (first run); pointer jumping converges in O(log d) and
+    # the whole chain must match the oracle's recursive closure as ONE
+    # 30-member cluster.
+    os.makedirs("/tmp/degen_docs_chain", exist_ok=True)
+    write_documents_chain("/tmp/degen_docs_chain")
+    write_embeddings("/tmp/degen_docs_chain")
     ok_docs = run_family("docs", "/tmp/degen_sf", KEYS)
     ok_dup = run_family("docs_dup", "/tmp/degen_docs_dup", KEYS)
     ok_ev = run_family("events", "/tmp/degen_ev", EVENT_KEYS)
@@ -1065,9 +1099,13 @@ def run_default() -> bool:
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
     ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty", "fn_math,fn_trig")
     ok_long = run_family("docs_long", "/tmp/degen_docs_long", KEYS)
+    ok_chain = run_family(
+        "docs_chain", "/tmp/degen_docs_chain",
+        "dedup_cluster_cc,dedup_ngram_jaccard,dedup_near_minhash,"
+        "dedup_simhash,dedup_ngram_capped,dedup_exact")
     return (ok_docs and ok_dup and ok_ev and ok_evd and ok_time and ok_emb
             and ok_embd and ok_part and ok_uni and ok_lid and ok_long
-            and run_stream())
+            and ok_chain and run_stream())
 
 
 def main() -> None:
