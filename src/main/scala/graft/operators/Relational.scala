@@ -693,12 +693,20 @@ object Relational extends QueryModule {
     // One percentile(col, array(...)) buffer per COLUMN, not per
     // requested quantile — the builtin buffers+sorts every group value
     // once per call, so the 4-call form paid that 4×(bench: 1.9→1.1 s).
+    // NaN is excluded from the percentile measure on BOTH sides (r12):
+    // Spark sorts NaN greatest, but DuckDB's quantile runs nth_element
+    // with IEEE < — not a strict weak order when NaN is present, so its
+    // NaN placement is unspecified (measured: the same corpus yields
+    // NaN-as-greatest, NaN-as-least, and scrambled-partition answers on
+    // different groups). nanvl→NULL is skipped by percentile in both
+    // engines; ±Inf stays in — sort order and cross-gap interpolation
+    // agree exactly (probed: q90 across a 1e300→Inf gap is Inf in both).
     "agg_percentiles" -> ((s, d) => {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
-          expr("percentile(l_extendedprice, array(0.25D, 0.99D))").as("pp"))
+          expr("percentile(nanvl(l_quantity, CAST(NULL AS DOUBLE)), array(0.5D, 0.9D))").as("pq"),
+          expr("percentile(nanvl(l_extendedprice, CAST(NULL AS DOUBLE)), array(0.25D, 0.99D))").as("pp"))
         .select(col("l_returnflag"), col("n"),
           r6(element_at(col("pq"), 1)).as("q50_qty"),
           r6(element_at(col("pq"), 2)).as("q90_qty"),
@@ -1388,12 +1396,22 @@ object Relational extends QueryModule {
     """,
 
     "agg_percentiles" -> """
+      -- NaN → NULL mirrors the product: DuckDB's nth_element quantile
+      -- has unspecified NaN placement (IEEE < is not a strict weak
+      -- order); NULLs are skipped by quantile_cont in both engines.
+      WITH c AS (
+        SELECT l_returnflag,
+               CASE WHEN isnan(l_quantity) THEN NULL
+                    ELSE l_quantity END AS q,
+               CASE WHEN isnan(l_extendedprice) THEN NULL
+                    ELSE l_extendedprice END AS p
+        FROM lineitem)
       SELECT l_returnflag, count(*) AS n,
-             round(quantile_cont(l_quantity, 0.5), 6) AS q50_qty,
-             round(quantile_cont(l_quantity, 0.9), 6) AS q90_qty,
-             round(quantile_cont(l_extendedprice, 0.25), 6) AS q25_price,
-             round(quantile_cont(l_extendedprice, 0.99), 6) AS q99_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+             round(quantile_cont(q, 0.5), 6) AS q50_qty,
+             round(quantile_cont(q, 0.9), 6) AS q90_qty,
+             round(quantile_cont(p, 0.25), 6) AS q25_price,
+             round(quantile_cont(p, 0.99), 6) AS q99_price
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 
     "agg_skew_kurt" -> s"""

@@ -230,6 +230,13 @@ def write_lineitem_dirty(sfdir: str) -> None:
         (21, 1, 30.0, 110.0, 0.03, -inf),        # tax -Inf: tan NULL
         (22, 1, 31.0, 111.0, 0.04, nan),         # tax NaN: tan/atan2 NaN
     ]
+    # Group split for the quantile keys: the all-finite rows form group
+    # "A" (positive control — ordinary interpolation), the dirty rows
+    # group "N" (percentile over NaN/±Inf: both engines sort NaN
+    # greatest and interpolate across infinite gaps identically —
+    # probed r12: q25 of {-Inf,1,2} is -Inf in both, NaN-adjacent
+    # interpolation is NaN in both).
+    finite = {1, 13, 14, 15, 16}
     t = pa.table({
         "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
         "l_partkey": pa.array([1] * len(rows), pa.int64()),
@@ -239,7 +246,8 @@ def write_lineitem_dirty(sfdir: str) -> None:
         "l_extendedprice": pa.array([r[3] for r in rows], pa.float64()),
         "l_discount": pa.array([r[4] for r in rows], pa.float64()),
         "l_tax": pa.array([r[5] for r in rows], pa.float64()),
-        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_returnflag": pa.array(
+            ["A" if r[0] in finite else "N" for r in rows], pa.string()),
         "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
         "l_shipdate": pa.array([ts("2024-03-01")] * len(rows),
                                pa.timestamp("us")),
@@ -1097,7 +1105,8 @@ def run_default() -> bool:
     ok_embd = run_family("emb_dirty", "/tmp/degen_emb_dirty", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
-    ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty", "fn_math,fn_trig")
+    ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty",
+                        "fn_math,fn_trig,agg_percentiles,agg_approx_quantiles")
     ok_long = run_family("docs_long", "/tmp/degen_docs_long", KEYS)
     ok_chain = run_family(
         "docs_chain", "/tmp/degen_docs_chain",
