@@ -34,6 +34,61 @@ import org.apache.spark.sql.functions._
   *   loses nothing — the LSH is a pure pruning step, not an approximation.
   */
 object Dedup extends QueryModule {
+
+  /** Pregel-style connected components over an undirected edge list
+    * (`src`, `dst` — both directions present). Min-label propagation
+    * with POINTER JUMPING: each round every vertex takes the min
+    * component id among itself and its neighbors, then additionally
+    * comp := min(comp, comp[comp]). Neighbor-min alone advances the min
+    * label ONE hop per round (rounds = eccentricity from the
+    * component's min id — a diameter-29 near-dup chain blew the loud
+    * 15-round bound, r12 docs_chain family); the jump doubles the
+    * label's reach each round → O(log diameter) rounds, so the same
+    * bound covers eccentricity ~2^14. comp values are always vertex ids
+    * (mins over ids), so the lookup is an equi-join back on labels; the
+    * left join + coalesce is only a guard. Each round shuffles id pairs
+    * only; eager localCheckpoint truncates lineage per round (an
+    * untruncated plan doubles per round — by round ~8 even stringifying
+    * it OOMs; at cluster scale: checkpoint to reliable storage).
+    * Returns (id, comp) with comp = the component's min member id.
+    * Property-tested against a union-find reference (GenPropertySpec).
+    */
+  private[graft] def minLabelComponents(und: DataFrame): DataFrame = {
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    // Convergence scalar: component ids only ever DECREASE under
+    // min-propagation, so Σcomp strictly decreases until the fixpoint —
+    // one cheap aggregate per round instead of a change-detection join.
+    // sum() over an EMPTY vertex set is SQL null → Option, not getLong
+    // (an already-clean corpus has no near-dup edges at all).
+    def compSum(): Option[Long] =
+      Option(labels.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))
+        .map(_.longValue())
+    var oldSum = Option(Long.MaxValue)
+    var newSum = compSum()
+    var round = 0
+    while (newSum.isDefined && newSum != oldSum && round < 15) {
+      val prop = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("comp"))
+      val nbrMin = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      val jump = nbrMin.select(col("id").as("jid"), col("comp").as("jcomp"))
+      labels = nbrMin.join(jump, col("comp") === col("jid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      oldSum = newSum
+      newSum = compSum()
+      round += 1
+    }
+    // A silent non-converged exit would report one real cluster as two
+    // components (and disagree with the oracle's transitive closure) —
+    // fail loudly instead.
+    require(newSum == oldSum || newSum.isEmpty,
+      s"minLabelComponents did not converge within $round rounds")
+    labels
+  }
   import T._
 
   private val P = 2147483647L // 2^31 − 1
@@ -393,52 +448,7 @@ object Dedup extends QueryModule {
       // stringifying it OOMs. Eager localCheckpoint truncates lineage to
       // the materialized blocks every round, keeping the plan O(1) in
       // rounds (at cluster scale: checkpoint to reliable storage).
-      var labels = und.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")).localCheckpoint(true)
-      // Convergence scalar: component ids only ever DECREASE under
-      // min-propagation, so Σcomp strictly decreases until the fixpoint —
-      // one cheap aggregate per round instead of a change-detection join.
-      // sum() over an EMPTY vertex set is SQL null → Option, not getLong
-      // (an already-clean corpus has no near-dup edges at all).
-      def compSum(): Option[Long] =
-        Option(labels.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))
-          .map(_.longValue())
-      var oldSum = Option(Long.MaxValue)
-      var newSum = compSum()
-      var round = 0
-      while (newSum.isDefined && newSum != oldSum && round < 15) {
-        val prop = und.join(labels, und("dst") === labels("id"))
-          .select(und("src").as("id"), col("comp"))
-        val nbrMin = labels.union(prop)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        // Pointer jump: comp := min(comp, comp[comp]). Neighbor-min
-        // alone advances the min label ONE hop per round, so rounds =
-        // eccentricity from the component's min id — a 30-doc near-dup
-        // CHAIN (the shape versioned/boilerplate docs form at corpus
-        // scale) blew the loud 15-round bound (r12 docs_chain family,
-        // first run). The jump doubles the label's reach each round —
-        // O(log diameter) rounds, so the same bound now covers
-        // eccentricity ~2^14. comp values are always vertex ids (mins
-        // over ids), so the lookup is an equi-join back on labels; the
-        // left join + coalesce is only a guard. Cost: one extra
-        // id-pair join per round against exponentially fewer rounds.
-        val jump = nbrMin.select(col("id").as("jid"), col("comp").as("jcomp"))
-        labels = nbrMin.join(jump, col("comp") === col("jid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("jcomp"), col("comp")))
-              .as("comp"))
-          .localCheckpoint(true)
-        oldSum = newSum
-        newSum = compSum()
-        round += 1
-      }
-      // A silent non-converged exit would report one real cluster as two
-      // components (and disagree with the oracle's transitive closure) —
-      // fail loudly instead. With the jump, 15 rounds covers
-      // eccentricity ≲ 2^14 from the cluster's min id — beyond any real
-      // corpus shape.
-      require(newSum == oldSum || newSum.isEmpty,
-        s"dedup_cluster_cc did not converge within $round rounds")
+      val labels = minLabelComponents(und)
       // The eager checkpoint makes final `labels` lineage-free, so the
       // pair-graph caches are unreachable from the returned plan — but
       // they stay registered DELIBERATELY: the CacheManager dedupes

@@ -717,9 +717,13 @@ object Relational extends QueryModule {
     // Median + discrete percentiles: `median` is interpolating (DuckDB
     // quantile_cont — its bare `median` on even groups returns the lower
     // middle, a dialect trap), `percentile_disc` picks the smallest value
-    // whose cume_dist ≥ p in both engines.
+    // whose cume_dist ≥ p in both engines. NaN is ejected from the
+    // measure on both sides — same r12 contract as agg_percentiles:
+    // DuckDB's quantile family sorts with IEEE `<` (unspecified NaN
+    // placement); percentile_disc shares the same rank machinery.
     "agg_median" -> ((s, d) => {
       events(s, d)
+        .withColumn("value", expr("nanvl(value, CAST(NULL AS DOUBLE))"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           r6(expr("median(value)")).as("med_value"),
@@ -1481,11 +1485,17 @@ object Relational extends QueryModule {
     """,
 
     "agg_median" -> """
+      -- NaN → NULL mirrors the product's nanvl ejection (the DuckDB
+      -- quantile family has unspecified NaN placement — r12).
+      WITH c AS (
+        SELECT event_type,
+               CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+        FROM events)
       SELECT event_type, count(*) AS n,
              round(quantile_cont(value, 0.5), 6) AS med_value,
              round(quantile_disc(value, 0.25), 6) AS p25_disc,
              round(quantile_disc(value, 0.75), 6) AS p75_disc
-      FROM events GROUP BY event_type ORDER BY event_type
+      FROM c GROUP BY event_type ORDER BY event_type
     """,
 
     "agg_rollup" -> """

@@ -867,4 +867,41 @@ class GenPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: minLabelComponents equals union-find on random graphs") {
+    // The pointer-jumping label loop (r12) against a classic union-find
+    // reference, over random edge sets — paths, cliques, stars, and
+    // disconnected fragments all arise from uniform edges at these
+    // sizes. Pins BOTH the partition (same components) and the label
+    // convention (comp = min member id), independent of the shingling
+    // front-end the docs families exercise.
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // vertices only (isolated ids are absent from the edge-derived
+      // Spark result, so restrict to edge endpoints)
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(2, 22)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield (n, es.filter(e => e._1 != e._2))
+    forAll(Gen.listOfN(6, edgeGen)) { cases =>
+      cases.filter(_._2.nonEmpty).foreach { case (n, es) =>
+        val und = es.flatMap(e => Seq(e, e.swap)).distinct.toDF("src", "dst")
+        val got = operators.Dedup.minLabelComponents(und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = unionFind(n, es)
+        assert(got == want,
+          s"n=$n edges=$es\n got=${got.toSeq.sorted}\n want=${want.toSeq.sorted}")
+      }
+    }
+  }
 }
