@@ -518,4 +518,118 @@ class StreamingSpec extends AnyFunSuite {
     val fp2 = operators.Streaming.eventsFingerprint(spark, dir)
     assert(fp1 != fp2, s"content-only regeneration not detected: $fp1")
   }
+
+  // The one streaming contract the driver keys can't exercise: every key
+  // runs with a FRESH checkpoint, so state restore across a process
+  // restart — the whole point of checkpointLocation at 100 TB — was
+  // unpinned. A complete-mode aggregate restarted on the same checkpoint
+  // must (a) NOT re-read already-committed source files and (b) restore
+  // its aggregation state, so the post-restart emission covers old+new
+  // data. One assertion kills both failure modes: lost state reads as
+  // new-data-only totals, re-read sources read as doubled totals.
+  test("checkpointed restart restores agg state without re-reading committed files") {
+    import spark.implicits._
+    val in   = java.nio.file.Files.createTempDirectory("graft_restart_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    Seq((ts("2024-01-01 01:00:00"), "view", 1.0), (ts("2024-01-01 02:00:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    // A new query instance per call — only `ckpt` carries continuity,
+    // exactly as a restarted driver process would.
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def table(): Map[String, (Long, Double)] =
+      spark.read.parquet(out).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    run()
+    assert(table() == Map("view" -> (2L, 3.0)), s"run 1: ${table()}")
+    // Arrivals while "down": more data for the EXISTING key + a new key.
+    Seq((ts("2024-01-02 01:00:00"), "view", 4.0), (ts("2024-01-02 02:00:00"), "click", 5.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    run()
+    assert(table() == Map("view" -> (3L, 7.0), "click" -> (1L, 5.0)),
+      s"state lost or source re-read across restart: ${table()}")
+    // Restart with nothing new: idempotent — the serving table is unchanged.
+    run()
+    assert(table() == Map("view" -> (3L, 7.0), "click" -> (1L, 5.0)),
+      s"no-new-data restart perturbed the sink: ${table()}")
+  }
+
+  // Same restart contract for CUSTOM state: a transformWithState ValueState
+  // on RocksDB (the stream_stateful_totals machinery) must come back from
+  // the checkpoint, so post-restart emissions continue the running total
+  // instead of restarting from zero.
+  test("transformWithState ValueState survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import spark.implicits._
+
+    class RunningTotal extends StatefulProcessor[String, (String, Long), (String, Long)] {
+      @transient private var total: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+          timers: TimerValues): Iterator[(String, Long)] = {
+        val t = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(t)
+        Iterator.single((key, t))
+      }
+    }
+
+    val in   = java.nio.file.Files.createTempDirectory("graft_tws_rs_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_tws_rs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_rs_ck").toString
+    Seq(("a.webm", 3L), ("a.webm", 2L), ("b.ogg", 7L))
+      .toDF("file", "n").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotal, TimeMode.None(), OutputMode.Update())
+        .toDF("file", "total")
+        .writeStream.outputMode(OutputMode.Update())
+        // The parquet sink rejects update mode; append each batch's
+        // update-mode emissions via foreachBatch (the emission LOG — the
+        // max per key below reads the latest running total).
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    try {
+      run()
+      // New arrivals for an existing key while "down", then restart: the
+      // emitted total continues from the RESTORED 5, not from zero.
+      Seq(("a.webm", 5L)).toDF("file", "n").write.mode("append").parquet(in)
+      run()
+      val last = spark.read.parquet(out).groupBy("file")
+        .agg(max("total").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(last == Map("a.webm" -> 10L, "b.ogg" -> 7L),
+        s"ValueState not restored across restart: $last")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
