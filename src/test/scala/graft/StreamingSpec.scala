@@ -632,4 +632,89 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  // The lateness cutoff must survive a restart: the commit log carries the
+  // watermark, so rows that are late relative to PRE-restart progress stay
+  // dropped even though the restarted query has seen no data yet. A
+  // watermark that silently reset to zero would both aggregate the stale
+  // rows and emit a phantom closed window for them.
+  test("restored watermark still drops rows late relative to pre-restart progress") {
+    import spark.implicits._
+    val in   = java.nio.file.Files.createTempDirectory("graft_wm_rs_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_wm_rs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_rs_ck").toString
+    // Run 1: Jan-10 traffic only → final watermark = 10:00 − 1 h; the
+    // Jan-10 day window stays OPEN in state (end > wm), nothing emits.
+    Seq((ts("2024-01-10 09:00:00"), "view"), (ts("2024-01-10 10:00:00"), "view"))
+      .toDF("ts", "event_type").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    var emittedSchema: org.apache.spark.sql.types.StructType = null
+    def run(): Unit = {
+      val agg = spark.readStream.schema(schema).parquet(in)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").cast("string").as("day"), col("n"))
+      emittedSchema = agg.schema
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    // While "down": one file carrying rows nine days LATE relative to the
+    // restored watermark plus a Jan-20 row that closes the Jan-10 window.
+    Seq((ts("2024-01-01 05:00:00"), "view"), (ts("2024-01-01 06:00:00"), "view"),
+        (ts("2024-01-20 12:00:00"), "view"))
+      .toDF("ts", "event_type").write.mode("append").parquet(in)
+    run()
+    val rows = spark.read.schema(emittedSchema).parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // Jan 10 closes with ONLY run-1's rows; the Jan-1 rows were dropped by
+    // the RESTORED watermark (a reset one would emit ("2024-01-01" -> 2)).
+    assert(rows.get("2024-01-10").contains(2L) && !rows.contains("2024-01-01"),
+      s"watermark not restored across restart: $rows")
+  }
+
+  // Exactly-once under redelivery ACROSS a restart: dropDuplicates state
+  // comes back from the checkpoint, so ids redelivered after the process
+  // bounced are still recognized — the at-least-once upstream contract
+  // (stream_dedup) holds through deployments, not just within one run.
+  test("dedup state survives a restart: post-restart redelivery stays deduped") {
+    import spark.implicits._
+    val in   = java.nio.file.Files.createTempDirectory("graft_dd_rs_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_dd_rs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_rs_ck").toString
+    Seq((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 2L),
+        (ts("2024-01-01 00:03:00"), 3L))
+      .toDF("ts", "event_id").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    var emittedSchema: org.apache.spark.sql.types.StructType = null
+    def run(): Unit = {
+      val dedup = spark.readStream.schema(schema).parquet(in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      emittedSchema = dedup.schema
+      val q = dedup.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    // Redelivery lands AFTER the bounce: ids 2 and 3 again (within the
+    // watermark horizon) plus a genuinely new id 4.
+    Seq((ts("2024-01-01 00:04:00"), 2L), (ts("2024-01-01 00:05:00"), 3L),
+        (ts("2024-01-01 00:06:00"), 4L))
+      .toDF("ts", "event_id").write.mode("append").parquet(in)
+    run()
+    val ids = spark.read.schema(emittedSchema).parquet(out)
+      .groupBy("event_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"dedup state lost across restart (redelivered ids re-emitted): $ids")
+  }
 }
