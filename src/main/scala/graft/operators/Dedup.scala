@@ -431,12 +431,12 @@ object Dedup extends QueryModule {
     // Duplicate-cluster resolution: connected components over the n-gram
     // Jaccard near-dup graph (pairs alone under-report — A~B and B~C must
     // collapse to ONE cluster {A,B,C} with one survivor). Pregel-style
-    // min-label propagation: each round every vertex takes the min
-    // component id among itself and its neighbors; rounds = graph
-    // diameter (near-dup clusters are tiny, so 2–4 in practice, bounded
-    // at 15). Each round is one shuffle on vertex id over the PAIR graph
-    // only — document text never enters the loop. The driver-side loop
-    // scalar is a convergence count, not data (the GraphX/Pregel shape).
+    // min-label propagation with pointer jumping (see
+    // minLabelComponents): O(log diameter) rounds, loud 15-round bound
+    // covering eccentricity ~2^14. Each round shuffles vertex-id pairs
+    // over the PAIR graph only — document text never enters the loop.
+    // The driver-side loop scalar is a convergence count, not data (the
+    // GraphX/Pregel shape).
     "dedup_cluster_cc" -> ((s, d) => {
       val edges = jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
         .select(col("a_id"), col("b_id"))
