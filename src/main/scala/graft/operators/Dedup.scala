@@ -473,20 +473,41 @@ object Dedup extends QueryModule {
       simhashBandPairs(simhashDS(s, d).persist()))
   )
 
-  /** Banded simhash near-dup pairs over (doc_id, simhash): 4 bands of
-    * 16 bits key the candidate equi-join; exact `bit_count` hamming ≤ 2
-    * confirms. LOSSLESS by pigeonhole: a pair differing in ≤ 3 bits
-    * can't place a differing bit in all 4 disjoint bands, so it matches
-    * on at least one band key — the candidate set provably contains
-    * every hamming ≤ 2 pair, and the exact filter makes the output
-    * EXACTLY that set (property-tested in GenPropertySpec on random
-    * planted-flip corpora). Factored out (the prefixJaccardPairs
-    * pattern) so the guarantee is testable off-fixture.
+  /** Banded simhash near-dup pairs over (doc_id, simhash): `bands`
+    * disjoint bands of `width` bits key the candidate equi-join; exact
+    * `bit_count` hamming ≤ 2 confirms. LOSSLESS by pigeonhole: ≤ 2
+    * differing bits occupy at most 2 of ≥ 3 disjoint bands, so every
+    * hamming ≤ 2 pair matches at least one band key — the candidate set
+    * provably contains every such pair, and the exact filter makes the
+    * output EXACTLY that set for ANY admissible geometry
+    * (property-tested in GenPropertySpec on random planted-flip corpora
+    * across geometries). Factored out (the prefixJaccardPairs pattern)
+    * so the guarantee is testable off-fixture.
+    *
+    * SCALE KNOB (measured, session-4b scale probe): besides true
+    * near-dups, the banded join carries a chance-collision candidate
+    * term of ~`bands`·N²/2^(width+1) — negligible at fixture N, but at
+    * N ≈ 2^16 docs it dominates (×7.4 step for ×4 rows at 80 k docs
+    * with the default 4×16 geometry). Width is the log₂(N) knob: at
+    * 10⁹ docs use ~width 30+, and if the pigeonhole radius then needs
+    * more than `bands`−1, restore it with combination tables
+    * (Manku-style block-permuted simhash) — the banded-join +
+    * exact-confirm structure is unchanged, only the geometry grows.
     */
-  private[graft] def simhashBandPairs(sig: DataFrame): DataFrame = {
+  private[graft] val SimhashBands = 4
+  private[graft] val SimhashBandBits = 16
+  private[graft] def simhashBandPairs(sig: DataFrame,
+                                      bands: Int = SimhashBands,
+                                      width: Int = SimhashBandBits): DataFrame = {
+    require(bands >= 3,
+      s"hamming ≤ 2 recall needs ≥ 3 disjoint bands (pigeonhole), got $bands")
+    require(width >= 1 && bands * width <= 64,
+      s"band geometry must fit the 62-bit signature: $bands × $width")
+    val mask = (1L << width) - 1
     val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+      explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(simhash, CAST(band * $width AS INT)) & $mask"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))

@@ -432,17 +432,24 @@ class GenPropertySpec extends AnyFunSuite {
     forAll(sigGen) { sigs =>
       import spark.implicits._
       val docs = sigs.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
-      val got = operators.Dedup
-        .simhashBandPairs(docs.toDF("doc_id", "simhash"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
       val want = (for {
         (a, sa) <- docs; (b, sb) <- docs if a < b
         h = java.lang.Long.bitCount(sa ^ sb)
         if h <= 2
       } yield (a, b) -> h.toLong).toMap
-      assert(got == want,
-        s"banded pairs ≠ brute force: missing=${(want.keySet -- got.keySet).take(5)} " +
-          s"extra=${(got.keySet -- want.keySet).take(5)}")
+      // The pigeonhole argument is geometry-independent (any ≥ 3 disjoint
+      // bands), and the r12 scale probe makes width the log₂(N) scale
+      // knob — so the exact-pair-set contract must hold for every
+      // admissible geometry, not just the shipped 4×16 default.
+      for ((bands, width) <- Seq((4, 16), (3, 20), (5, 12))) {
+        val got = operators.Dedup
+          .simhashBandPairs(docs.toDF("doc_id", "simhash"), bands, width)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+        assert(got == want,
+          s"banded pairs ≠ brute force at $bands×$width: " +
+            s"missing=${(want.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- want.keySet).take(5)}")
+      }
     }
   }
 
