@@ -72,7 +72,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The oracle dump honors the same key filter: an unfiltered dump
+    // under SPARK_GRAFT_KEYS makes tools/check.py report every
+    // unselected key as declared-but-missing, burying the real result
+    // (the driver never filters, so driver dumps are always complete).
+    val dumped = keyFilter match {
+      case Some(ks) => SparkEntry.oracleSql.filter { case (k, _) => ks(k) }
+      case None     => SparkEntry.oracleSql
+    }
+    val json = dumped
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

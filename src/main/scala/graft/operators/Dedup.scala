@@ -494,8 +494,16 @@ object Dedup extends QueryModule {
     * (Manku-style block-permuted simhash) — the banded-join +
     * exact-confirm structure is unchanged, only the geometry grows.
     */
-  private[graft] val SimhashBands = 4
-  private[graft] val SimhashBandBits = 16
+  // `SPARK_GRAFT_SIMHASH_BANDS`/`_WIDTH` override the fixture-optimal
+  // 4×16 so the width knob is exercisable at probe scale. The driver key
+  // and its oracle both pick these up in the same JVM — and because the
+  // output is the EXACT hamming ≤ 2 pair set under ANY admissible
+  // geometry (the property above), product and oracle stay equal even if
+  // only one side's geometry changed.
+  private[graft] val SimhashBands: Int =
+    sys.env.get("SPARK_GRAFT_SIMHASH_BANDS").map(_.toInt).getOrElse(4)
+  private[graft] val SimhashBandBits: Int =
+    sys.env.get("SPARK_GRAFT_SIMHASH_WIDTH").map(_.toInt).getOrElse(16)
   private[graft] def simhashBandPairs(sig: DataFrame,
                                       bands: Int = SimhashBands,
                                       width: Int = SimhashBandBits): DataFrame = {
@@ -677,8 +685,8 @@ object Dedup extends QueryModule {
         sig AS (SELECT doc_id, ${duckSimhash62} AS simhash FROM tok),
         banded AS (
           SELECT doc_id, simhash, band,
-                 (simhash >> CAST(band * 16 AS INT)) & 65535 AS bkey
-          FROM sig, range(0, 4) t(band)),
+                 (simhash >> CAST(band * $SimhashBandBits AS INT)) & ${(1L << SimhashBandBits) - 1} AS bkey
+          FROM sig, range(0, $SimhashBands) t(band)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -216,8 +216,16 @@ object Similarity extends QueryModule {
     * SAMPLE (k-means or hashed seeds) instead of the label fold — the
     * assign → block → within-cell-join structure and this knob are what
     * carry over, not the toy trainer. SURVEY §7.6 records the same rule.
+    *
+    * `SPARK_GRAFT_IVF_CELLS` overrides the default 16 so the rule is
+    * exercisable, not just documented: every consumer — trainer, cell
+    * assignment, AND the generated oracle SQL (`duckCell`) — reads
+    * this one constant in the same JVM, so the cross-engine gate stays
+    * valid at any cell count (validated on the ×16 label-diversified
+    * scale-probe corpus, BASELINE.md round-12 session 5).
     */
-  private[graft] val IvfCells = 16
+  private[graft] val IvfCells: Int =
+    sys.env.get("SPARK_GRAFT_IVF_CELLS").map(_.toInt).getOrElse(16)
 
   /** Quantizer "training": one mean-vec centroid per cell, cell = label
     * folded into IvfCells — ONE recipe shared by sim_ivf_* and
@@ -372,23 +380,56 @@ object Similarity extends QueryModule {
       // (identical to sim_ivf_topk, so the oracle mirrors the same SQL;
       // IvfCells is the scale knob — see its scaladoc for the √N rule).
       val cents = trainCentroids(e.select(col("label"), col("embedding")))
-      // f32×f64 dot stays HOF (mixed element types); same fold order as
-      // the oracle's list_transform sum.
-      val dotVC = "aggregate(zip_with(embedding, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      // Assignment COMPUTE is the cells-scaling term (×16 probe corpus,
+      // r12 session 5): the vector×centroid cosine runs N×cells times,
+      // and spelled as interpreted HOF folds it grew the key 12.0 s →
+      // 25.0 s when cells went 16 → 64 — the exact opposite of what
+      // raising the cell count is FOR. Two fixes, same arithmetic:
+      // the f32×f64 dot is the codegen'd dot_f32f64 expression
+      // (bit-identical fold contract, see VectorExpressions), and the
+      // centroid self-norm is computed ONCE per centroid on the
+      // broadcast side instead of once per candidate row. The centroid
+      // self-dot stays HOF — cells rows, not a hot path.
       val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
-          r6(expr(s"$dotVC / nullif(norm * sqrt($dotCC), CAST(0 AS DOUBLE))")).as("ccos"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cell"))
+      val centsN = cents.withColumn("cnorm", expr(s"sqrt($dotCC)"))
+      // Argmax-by-AGGREGATION, not by window: the row_number form
+      // exchanges all N×cells assignment rows carrying the full
+      // embedding payload; the hash aggregate partial-combines map-side
+      // (cells candidate rows → 1 per vector per partition), so ONE
+      // exchange of N rows regardless of cells. Tie-break parity with
+      // the window (ccos DESC NULLS LAST, then cell ASC) and the
+      // oracle: struct comparison sorts a NULL field first, so max()
+      // prefers any scored cell over NULL, highest ccos first, then
+      // max(-cell) = lowest cell; an all-NULL vector (the zero vector —
+      // norm 0 nullifs every ccos) falls through to lowest cell, exactly
+      // the window's order. first(embedding/norm) is deterministic:
+      // vec_id is unique in `e`, every candidate row carries the same
+      // payload. Outcome (same probe corpus, min-of-3): 16→64 cells now
+      // moves the key 8.6 → 6.1 s (raising cells HELPS, as the knob is
+      // for; 128 cells → 7.5 s, past the toy-scale optimum where the
+      // cells-linear assignment terms take over) and the sf0.1 fixture
+      // key improved ~1.4 → ~1.2 s. A skinny-aggregate variant (argmax
+      // without payload + a re-join for the payload) and the original
+      // window form were both measured within noise of this at the
+      // 64-cell operating point but lose either a fixture constant or
+      // the single-exchange property — adjudicated in BASELINE.md r12
+      // session 5.
+      val assigned = e.crossJoin(broadcast(centsN))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          struct(
+            r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"),
+            (-col("cell")).as("nc")).as("sc"))
       // Cached: both arms of the self-join below consume cellOf, and the
       // two aliased subtrees are NOT exchange-reused — without
       // compute-once caching the whole centroid-train + assign + rank
       // stage runs twice (plan-audited). persist, not localCheckpoint,
       // for the same CacheManager-reuse reason as the Dedup family
       // (Dedup.prefixJaccardPairs note); state is (id, vec, norm, cell).
-      val cellOf = assigned.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      val cellOf = assigned.groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("m"),
+          first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          (-col("m.nc")).as("cell"))
         .persist()
       val pairs = cellOf.as("a").join(cellOf.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))

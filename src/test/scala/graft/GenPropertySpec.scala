@@ -875,6 +875,57 @@ class GenPropertySpec extends AnyFunSuite {
     }
   }
 
+  // Same contract for the mixed-precision sibling (r12 session 5): the
+  // IVF assignment hot path computes vector(f32)×centroid(f64) cosines
+  // N×cells times, so the fold moved from interpreted HOF to the
+  // codegen'd dot_f32f64 — this property is what licenses that move
+  // (bit-identical on every input class, both expression paths).
+  test("dot_f32f64 equals the HOF zip_with fold on malformed and clean vectors") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val f32Gen: Gen[Option[Float]] = Gen.frequency(
+      12 -> Gen.chooseNum(-100, 100).map(n => Some(n / 8.0f)),
+      1 -> Gen.const(Option.empty[Float]),
+      1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity).map(Some(_)))
+    val f64Gen: Gen[Option[Double]] = Gen.frequency(
+      12 -> Gen.chooseNum(-100, 100).map(n => Some(n / 8.0)),
+      1 -> Gen.const(Option.empty[Double]),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity).map(Some(_)))
+    def vecGen[T](g: Gen[Option[T]]): Gen[Seq[Option[T]]] = for {
+      n <- Gen.frequency(5 -> Gen.const(8), 2 -> Gen.chooseNum(0, 12))
+      xs <- Gen.listOfN(n, g)
+    } yield xs
+    forAll(Gen.listOfN(16, Gen.zip(vecGen(f32Gen), vecGen(f64Gen)))) { pairs =>
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      def run(): Array[org.apache.spark.sql.Row] = rows.toDF("id", "a", "c")
+        .select(col("id"),
+          expr("dot_f32f64(a, c)").as("native"),
+          expr("aggregate(zip_with(a, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+        .collect()
+      def check(got: Array[org.apache.spark.sql.Row], path: String): Unit =
+        got.foreach { r =>
+          val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+          val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+          assert((n == null && h == null) || (n != null && n.equals(h)),
+            s"[$path] id=${r.getLong(0)}: dot_f32f64=$n hof=$h " +
+              s"for a=${pairs(r.getLong(0).toInt)._1} c=${pairs(r.getLong(0).toInt)._2}")
+        }
+      check(run(), "codegen")
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        check(run(), "interpreted")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm)
+      }
+    }
+  }
+
   test("property: minLabelComponents equals union-find on random graphs") {
     // The pointer-jumping label loop (r12) against a classic union-find
     // reference, over random edge sets — paths, cliques, stars, and

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build xK synthetic scale-ups of the sf fixtures for empirical scaling runs.
 
-Usage: python3 tools/scale_probe.py <srcSfDir> <destDir> <K>
+Usage: python3 tools/scale_probe.py <srcSfDir> <destDir> <K> [div]
 
 Copies every table, then scales events/documents/embeddings by K with
 DISTINCT content per copy — the point is to measure how the engine's
@@ -18,10 +18,18 @@ shuffles/joins/hashes grow with N, so the copies must not collide:
   construction, telling us nothing about scaling.
 - embeddings: ids offset, vectors perturbed by k/1024 per copy (exact in
   float32) so nearest-neighbor structure is K shifted copies, not
-  distance-zero degeneracy. Labels are kept, so the fixed-IvfCells
-  within-cell join gets K x bigger cells — deliberately measurable: that
-  is exactly the documented sqrt(N) centroid-sizing caveat (SURVEY
-  §7.6), and the probe quantifies what ignoring it costs.
+  distance-zero degeneracy. Labels are kept by default, so the
+  fixed-IvfCells within-cell join gets K x bigger cells — deliberately
+  measurable: that is exactly the documented sqrt(N) centroid-sizing
+  caveat (SURVEY §7.6), and the probe quantifies what ignoring it costs.
+
+With a trailing `div` argument, labels are instead offset per copy
+(label + i*1000), K x-ing the label alphabet — the data-side half of the
+sqrt(N) rule. The fixture trainer folds LABELS into cells, so kept
+labels cap the cell count at the base alphabet (~10) no matter what
+SPARK_GRAFT_IVF_CELLS says; the diversified corpus lets a raised cell
+count actually materialize more cells, which is what validating the rule
+requires (engine-side knob: SPARK_GRAFT_IVF_CELLS ~ sqrt(N)).
 
 Measurement protocol (manual, recorded in BASELINE.md):
   SPARK_GRAFT_EARLY_ACCEPT=0 SPARK_GRAFT_KEYS=<set> \
@@ -36,7 +44,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def build(src: str, dest: str, k: int) -> None:
+def build(src: str, dest: str, k: int, div_labels: bool = False) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -66,11 +74,12 @@ def build(src: str, dest: str, k: int) -> None:
                length(regexp_replace(text, '([A-Za-z0-9_]+)', '\\1q{i}', 'g')) AS n_chars
         FROM read_parquet('{src}/documents.parquet')""") for i in range(k)]
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/documents.parquet' (FORMAT PARQUET)")
+    label_expr = "label + {i}::BIGINT * 1000" if div_labels else "label"
     parts = [
         f"""
         SELECT vec_id + {i}::BIGINT * 1000000000 AS vec_id,
                CAST(list_transform(embedding, e -> e + {i} / 1024.0) AS FLOAT[]) AS embedding,
-               label
+               {label_expr.format(i=i)} AS label
         FROM read_parquet('{src}/embeddings.parquet')""" for i in range(k)]
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)")
     for t in ("events", "documents", "embeddings"):
@@ -80,4 +89,4 @@ def build(src: str, dest: str, k: int) -> None:
 
 if __name__ == "__main__":
     src, dest, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    build(src, dest, k)
+    build(src, dest, k, div_labels=len(sys.argv) > 4 and sys.argv[4] == "div")
