@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *   probe row, map-side cosine, TakeOrderedAndProject — no shuffle of the
   *   vector table and no driver collect;
   * - the ANN path is sign-LSH with FIXED arithmetic hyperplanes (no RNG —
-  *   reproducible across engines and runs): 8 planes → 256 buckets; at
-  *   scale the bucket id becomes the shuffle/partition key so a probe
-  *   touches 1/256th of the data; recall is tunable by multi-probing
-  *   neighboring buckets (not needed on fixtures);
+  *   reproducible across engines and runs): `LshPlanes` planes →
+  *   2^planes buckets (default 8 → 256, planes ∝ log₂N is the scale
+  *   rule — see the LshPlanes scaladoc); at scale the bucket id becomes
+  *   the shuffle/partition key so a probe touches one bucket's share of
+  *   the data; recall is tunable by multi-probing neighboring buckets
+  *   (not needed on fixtures);
   * - embedding near-dup kNN blocks on coarse QUANTIZATION cells (each
   *   vector assigned to its nearest mean-vector centroid, the IVF recipe)
   *   so the pair space is k× smaller than the n² cross join and the
@@ -163,18 +165,44 @@ object Similarity extends QueryModule {
       ORDER BY cos DESC, vec_id LIMIT 5
     """
 
+  /** Sign-LSH plane count — the bucket-geometry scale knob of the ANN
+    * family (2^planes buckets). A fixed 256-bucket table means bucket
+    * SIZE grows with N (each probe scores N/256 rows); planes ∝ log₂N
+    * keeps bucket size flat, at one extra sign-dot per plane per row on
+    * the index build. `SPARK_GRAFT_LSH_PLANES` overrides the default 8;
+    * the oracle SQL generator reads the same constant, so the
+    * cross-engine gate holds at any plane count.
+    */
+  private[graft] val LshPlanes: Int =
+    sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.toInt).getOrElse(8)
+
   /** Deterministic LSH hyperplane weight for (plane p, 1-based dim i):
     * pseudo-random int in [-998, 998] from fixed affine arithmetic —
-    * identical in both engines, no RNG.
+    * identical in both engines, no RNG. planeWeight is the exact Scala
+    * twin of the SQL spelling (the argument is positive, so SQL's
+    * signed % and Scala's % agree), letting the Spark side bake the 64
+    * weights per plane into a LITERAL array and take the sign of one
+    * codegen'd dot_f32f64 — the HOF spelling ran 8 interpreted
+    * 64-element folds per row on the index-build scan (the same
+    * interpreted-assignment disease the IVF fix removed). Fold order
+    * and (double)f32 × f64 products are bit-identical, so buckets
+    * can't diverge from the oracle's HOF form.
     */
   private def planeW(p: Int): String =
     s"(CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i - 1) + 12345) % 1997 AS DOUBLE) - 998)"
-  private def sparkBucket(emb: String): String =
-    (0 until 8).map { p =>
-      s"shiftleft(CASE WHEN aggregate(transform(sequence(1, 64), i -> CAST(element_at($emb, i) AS DOUBLE) * ${planeW(p)}), CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END, $p)"
+  private def planeWeight(p: Int, i: Int): Long =
+    (1103515245L * (p * 64 + i - 1) + 12345L) % 1997L - 998L
+  private def sparkBucket(emb: String): String = {
+    require(LshPlanes >= 1 && LshPlanes <= 30,
+      s"LSH plane count must fit an INT bucket: $LshPlanes")
+    (0 until LshPlanes).map { p =>
+      val arr = (1 to 64).map(i => s"CAST(${planeWeight(p, i)} AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      s"shiftleft(CASE WHEN dot_f32f64($emb, $arr) > 0 THEN 1 ELSE 0 END, $p)"
     }.mkString(" + ")
+  }
   private def duckBucket(emb: String): String =
-    (0 until 8).map { p =>
+    (0 until LshPlanes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * ${planeW(p)})) > 0 THEN 1 ELSE 0 END << $p)"
     }.mkString(" + ")
 
@@ -289,7 +317,7 @@ object Similarity extends QueryModule {
           r6(expr(cosine("embedding", "probe_emb"))).as("cos"))
     }),
 
-    // ANN: probe searches only its own sign-LSH bucket (1/256 of data).
+    // ANN: probe searches only its own sign-LSH bucket (1/2^planes of data).
     "sim_ann_lsh" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       // usable-filter BEFORE bucketing: ANSI element_at(emb, i..64)
@@ -311,8 +339,8 @@ object Similarity extends QueryModule {
     }),
 
     // Multi-probe LSH: also search every bucket within hamming radius 1
-    // of the probe's bucket (flip each of the 8 plane bits) — the
-    // standard recall knob, 9/256 of the data instead of 1/256.
+    // of the probe's bucket (flip each of the LshPlanes bits) — the
+    // standard recall knob, (planes+1)/2^planes of the data instead of 1.
     "sim_ann_multiprobe" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       // Same usable-filter-before-bucketing rule as sim_ann_lsh.
