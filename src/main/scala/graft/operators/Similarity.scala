@@ -420,44 +420,61 @@ object Similarity extends QueryModule {
       // self-dot stays HOF — cells rows, not a hot path.
       val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
       val centsN = cents.withColumn("cnorm", expr(s"sqrt($dotCC)"))
-      // Argmax-by-AGGREGATION, not by window: the row_number form
-      // exchanges all N×cells assignment rows carrying the full
-      // embedding payload; the hash aggregate partial-combines map-side
-      // (cells candidate rows → 1 per vector per partition), so ONE
-      // exchange of N rows regardless of cells. Tie-break parity with
-      // the window (ccos DESC NULLS LAST, then cell ASC) and the
-      // oracle: struct comparison sorts a NULL field first, so max()
-      // prefers any scored cell over NULL, highest ccos first, then
-      // max(-cell) = lowest cell; an all-NULL vector (the zero vector —
-      // norm 0 nullifs every ccos) falls through to lowest cell, exactly
-      // the window's order. first(embedding/norm) is deterministic:
-      // vec_id is unique in `e`, every candidate row carries the same
-      // payload. Outcome (same probe corpus, min-of-3): 16→64 cells now
-      // moves the key 8.6 → 6.1 s (raising cells HELPS, as the knob is
-      // for; 128 cells → 7.5 s, past the toy-scale optimum where the
-      // cells-linear assignment terms take over) and the sf0.1 fixture
-      // key improved ~1.4 → ~1.2 s. A skinny-aggregate variant (argmax
-      // without payload + a re-join for the payload) and the original
-      // window form were both measured within noise of this at the
-      // 64-cell operating point but lose either a fixture constant or
-      // the single-exchange property — adjudicated in BASELINE.md r12
-      // session 5.
-      val assigned = e.crossJoin(broadcast(centsN))
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          struct(
-            r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"),
-            (-col("cell")).as("nc")).as("sc"))
+      // Argmax by PACKED-LONG hash aggregation (r12 session 5, third
+      // iteration — the executed plan told on the first two): neither a
+      // row_number window nor a max over a STRUCT is the scale-correct
+      // "best cell / best neighbor". WindowExec exchanges AND sorts the
+      // whole candidate/pair stream; max(struct) and first(array) have
+      // non-mutable aggregation buffers, so Spark silently plans
+      // Sort + SortAggregate — the partial aggregate SORTS all N×cells
+      // candidate rows and all within-cell pair rows inside every task
+      // (the ×64 probe point, 128 k vectors × 256 cells, spent ~210 s
+      // mostly in those sorts). The r6-rounded cosine is EXACTLY an
+      // integer count of millionths in [-1e6, 1e6], so (score, id)
+      // packs losslessly into one BIGINT:
+      //     packed = floor(score·1e6 + 0.5) << idBits  +  (mask − id)
+      // max(packed) = highest score then LOWEST id — the window's
+      // (score DESC NULLS LAST, id ASC) order — because max() skips
+      // NULL scores; an all-NULL group (the zero vector again) falls
+      // back to the separate min(id) via coalesce. Long max/min buffers
+      // are mutable primitives ⇒ HashAggregate, true map-side combine,
+      // no sort, whole-stage codegen; decode is shift/mask arithmetic
+      // (arithmetic >> floors negative scaled scores correctly, & takes
+      // the non-negative id field), and scaled/1e6 is correctly rounded
+      // so the score round-trips bit-identically to r6's output.
+      // floor(x + 0.5) recovers the exact integer: x is within ~1e-10
+      // of it, and floor(double)'s long saturation can't bite at |x| ≤
+      // 1e6 + 0.5. Id widths: cells 21 bits (require below guards the
+      // knob), neighbor ids 41 bits (|scaled|·2^41 ≤ 2^61; the
+      // assert_true on `e` fails LOUDLY if a corpus ever carries ids
+      // outside [0, 2^41) — corrupt structural metadata is the loud
+      // tier of the dirty-data contract, unlike droppable vector rows).
+      val CellBits = 21
+      val cellMask = (1L << CellBits) - 1
+      require(IvfCells < cellMask,
+        s"cell id must fit $CellBits bits for the packed argmax: $IvfCells")
+      val NnBits = 41
+      val nnMask = (1L << NnBits) - 1
+      val eChecked = e.filter(expr(
+        s"assert_true(vec_id >= 0 AND vec_id <= $nnMask, " +
+          "'vec_id outside the 41-bit packed-argmax id width') IS NULL"))
+      val assigned = eChecked.crossJoin(broadcast(centsN))
+        .select(col("vec_id"), col("cell"),
+          r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"))
+        .select(col("vec_id"), col("cell"),
+          expr(s"shiftleft(floor(ccos * 1000000.0D + 0.5D), $CellBits) + ($cellMask - cell)").as("p"))
+      val best = assigned.groupBy(col("vec_id"))
+        .agg(max(col("p")).as("mp"), min(col("cell")).as("mc"))
+        .select(col("vec_id"),
+          coalesce(lit(cellMask) - col("mp").bitwiseAND(lit(cellMask)), col("mc")).as("cell"))
       // Cached: both arms of the self-join below consume cellOf, and the
       // two aliased subtrees are NOT exchange-reused — without
       // compute-once caching the whole centroid-train + assign + rank
       // stage runs twice (plan-audited). persist, not localCheckpoint,
       // for the same CacheManager-reuse reason as the Dedup family
       // (Dedup.prefixJaccardPairs note); state is (id, vec, norm, cell).
-      val cellOf = assigned.groupBy(col("vec_id"))
-        .agg(max(col("sc")).as("m"),
-          first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          (-col("m.nc")).as("cell"))
+      val cellOf = eChecked.select(col("vec_id"), col("embedding"), col("norm"))
+        .join(best, Seq("vec_id"))
         .persist()
       val pairs = cellOf.as("a").join(cellOf.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -465,10 +482,17 @@ object Similarity extends QueryModule {
           col("b.vec_id").as("nn_id"),
           r6(expr(ndot("a.embedding", "b.embedding")) /
             nullif(col("a.norm") * col("b.norm"), lit(0.0))).as("cos"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nn_id"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell"), col("nn_id"), col("cos"))
+      // first(cell) is deterministic (both join arms share the cell
+      // key) and its (long, boolean) buffer is hash-aggregable.
+      pairs
+        .select(col("vec_id"), col("cell"), col("nn_id"),
+          expr(s"shiftleft(floor(cos * 1000000.0D + 0.5D), $NnBits) + ($nnMask - nn_id)").as("p"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("cell")).as("cell"), max(col("p")).as("mp"),
+          min(col("nn_id")).as("mn"))
+        .select(col("vec_id"), col("cell"),
+          coalesce(lit(nnMask) - col("mp").bitwiseAND(lit(nnMask)), col("mn")).as("nn_id"),
+          (shiftright(col("mp"), NnBits).cast("double") / lit(1000000.0)).as("cos"))
     }),
 
     // Typed UDAF: per-label mean embedding via a custom Aggregator with
@@ -646,8 +670,12 @@ object Similarity extends QueryModule {
                       ORDER BY ccos DESC, cell) AS rn
           FROM assigned) WHERE rn = 1),
       pairs AS (
+        -- + 0.0 normalizes a negative-zero cosine (reachable with -0.0
+        -- components): the Spark side's packed-argmax decode can only
+        -- emit +0.0 at scaled 0, and ORDERING is unaffected because
+        -- both engines compare -0.0 = 0.0 as equal.
         SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS nn_id,
-               round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
+               round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) + 0.0 AS cos
         FROM cellof a JOIN cellof b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
       ranked AS (
