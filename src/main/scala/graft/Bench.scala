@@ -268,7 +268,8 @@ object Bench {
     // 3-JVM re-run (tools/bench_baseline.py 3 key1,...)".
     val stillOver = samples.filter { case (k, ss) => overFlag(k, ss) }
     if (stillOver.nonEmpty) {
-      val delayMs = sys.env.getOrElse("SPARK_GRAFT_RERUN2_DELAY_SEC", "60").toLong * 1000L
+      val delayMs =
+        graft.T.envInt("SPARK_GRAFT_RERUN2_DELAY_SEC", 60, min = 0, max = 3600) * 1000L
       Thread.sleep(delayMs)
       stillOver.foreach { case (k, _) =>
         val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }

@@ -501,16 +501,22 @@ object Dedup extends QueryModule {
   // geometry (the property above), product and oracle stay equal even if
   // only one side's geometry changed.
   private[graft] val SimhashBands: Int =
-    sys.env.get("SPARK_GRAFT_SIMHASH_BANDS").map(_.toInt).getOrElse(4)
+    graft.T.envInt("SPARK_GRAFT_SIMHASH_BANDS", 4, min = 3, max = 64)
   private[graft] val SimhashBandBits: Int =
-    sys.env.get("SPARK_GRAFT_SIMHASH_WIDTH").map(_.toInt).getOrElse(16)
+    graft.T.envInt("SPARK_GRAFT_SIMHASH_WIDTH", 16, min = 1, max = 62)
   private[graft] def simhashBandPairs(sig: DataFrame,
                                       bands: Int = SimhashBands,
                                       width: Int = SimhashBandBits): DataFrame = {
     require(bands >= 3,
       s"hamming ≤ 2 recall needs ≥ 3 disjoint bands (pigeonhole), got $bands")
+    // ≤ 64 is the real capacity: the signature word is 64 bits with bits
+    // 62-63 constant zero (the 62-bit simhash), so a top band spanning
+    // them is ADMISSIBLE — exactness is preserved by the hamming ≤ 2
+    // confirm filter — but keys on 2 constant bits and loses that much
+    // discriminating power (mildly more chance collisions at scale; the
+    // shipped 4×16 default accepts this, 3×20 avoids it).
     require(width >= 1 && bands * width <= 64,
-      s"band geometry must fit the 62-bit signature: $bands × $width")
+      s"band geometry must fit the 64-bit signature word: $bands × $width")
     val mask = (1L << width) - 1
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${bands - 1})")).as("band"))

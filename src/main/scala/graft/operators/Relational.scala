@@ -961,52 +961,76 @@ object Relational extends QueryModule {
 
     // Mergeable quantile sketch — the 100 TB path for agg_percentiles
     // (partial-aggregatable, bounded state). Sketch values are
-    // engine-specific, so the key emits a TOLERANCE VERDICT: booleans that
-    // the approx value lands between the exact discrete quantiles at
-    // rank ±1% of the target — computed Spark-side against Spark's own
-    // exact percentile_disc. accuracy=10000 bounds rank error to 1e-4·n
-    // (and is EXACT below 10k rows/group), far inside the ±1% window, so
-    // the verdict is TRUE at every SF; the DuckDB oracle emits the same
-    // exact group counts with literal TRUE and both engines hash-match.
-    // PipelineOpsSpec still bounds the raw sketch values by rank tolerance.
-    // The exact bounds come from ONE array-percentile buffer per column
-    // (the agg_percentiles lesson: each percentile call buffers + sorts
-    // every group value independently — 4 disc calls paid that 4×). The
-    // interpolating p(0.49)/p(0.51) bracket is sound for the verdict:
-    // the sketch returns a real order statistic at rank within
-    // n·1e-4 of target, which for n ≥ 52 lies inside the interpolated
-    // rank-±1% values (groups here are ≥ 1500 rows at the smallest SF).
+    // engine-specific, so the key emits a TOLERANCE VERDICT: booleans
+    // that the approx value's RANK lands within ±1% of the target —
+    // checked by conditional counts against the sketch value, not by
+    // exact percentile brackets. The old bracket form paid an
+    // array-percentile buffer per column (every group value buffered +
+    // sorted at finish — 1.6-1.8 s steady, top-3 in every round's bench,
+    // all of it oracle-parity scaffolding); the rank form is two hash
+    // aggregates and a broadcast of ≤|returnflag| sketch rows — nothing
+    // buffers, everything map-side combines, and it's the form that
+    // still works when a group holds 10⁹ values. Tie-aware: the sketch
+    // value's rank is the interval [lt+1, le] (lt = values strictly
+    // below, le = values ≤), and the verdict asserts that interval
+    // overlaps [0.49·nq − 1, 0.51·nq + 1] (q50) / [0.98·np − 1,
+    // 0.995·np + 1] (q99) — the ±1 absorbs integer-rank edges.
+    // accuracy=10000 bounds the sketch's rank error to max(1, 1e-4·n)
+    // (EXACT below 10k values), far inside the window at every SF, so
+    // the verdict is TRUE and hash-matches the oracle's literal TRUE.
+    // PipelineOpsSpec still bounds the raw sketch values by tolerance.
+    // Spark's NaN-greatest comparison semantics keep NaN measure values
+    // out of both counts — the same "NaN ranks above everything" the
+    // old percentile buffer used, so the two forms agree on dirty data.
     "agg_approx_quantiles" -> ((s, d) => {
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      // Both passes (sketch, rank counts) read the same 3-column
+      // projection; persisting it trades the second parquet decode for
+      // one in-memory columnar read (~12 MB at sf0.1).
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .persist()
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           // Soundness gates count NON-NULL VALUES per measure, not rows:
-          // sketches and percentiles both skip NULLs, so a 60-row group
-          // with 2 non-null quantities is a 2-value sample — the rank-±1%
-          // bracket derivation needs ≥ 52 VALUES (r11 review find; the
-          // r10 `n < 52` row gate was unsound on mostly-NULL groups).
+          // sketches skip NULLs, so a 60-row group with 2 non-null
+          // quantities is a 2-value sample — the rank-±1% window needs
+          // ≥ 52 VALUES (r11 review find; the r10 `n < 52` row gate was
+          // unsound on mostly-NULL groups).
           count(col("l_quantity")).as("nq"),
           count(col("l_extendedprice")).as("np"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq50"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("aq99"),
-          expr("percentile(l_quantity, array(0.49D, 0.51D))").as("bq"),
-          expr("percentile(l_extendedprice, array(0.98D, 0.995D))").as("bp"))
+          // accuracy 2000: rank error ≤ max(1, 5e-4·n) — 20× inside the
+          // ±1% verdict window, and EXACT below 2000 values/group (the
+          // smallest fixture groups are ~1500). 10000 bought 5× more
+          // precision than the claim needs at measurable sketch-update
+          // cost (r13 trim; the raw-value spec uses its own 10000).
+          expr("approx_percentile(l_quantity, 0.5, 2000)").as("aq50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 2000)").as("aq99"))
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          first(col("nq")).as("nq"), first(col("np")).as("np"),
+          first(col("aq50")).as("aq50"), first(col("aq99")).as("aq99"),
+          count(when(col("l_quantity") < col("aq50"), 1)).as("lt50"),
+          count(when(col("l_quantity") <= col("aq50"), 1)).as("le50"),
+          count(when(col("l_extendedprice") < col("aq99"), 1)).as("lt99"),
+          count(when(col("l_extendedprice") <= col("aq99"), 1)).as("le99"))
         .select(col("l_returnflag"), col("n"),
-          // `nq < 52 ||`: the interpolated rank-±1% bracket is only a
-          // sound bound for ≥ 52 non-null values (see the derivation
-          // above) — on smaller samples the verdict claims nothing
-          // rather than asserting an unsound bound (degenerate-universe
-          // corpus: 3-row groups legitimately landed outside the
-          // bracket). `.isNull ||`: an all-NULL measure sketches to NULL
-          // — the verdict again claims nothing instead of going NULL
-          // itself, keeping parity with the oracle's literal TRUE
-          // (round-10 ADVICE). nq/np are gate inputs only, not emitted.
-          (col("nq") < 52 || col("aq50").isNull
-            || (col("aq50") >= element_at(col("bq"), 1)
-            && col("aq50") <= element_at(col("bq"), 2))).as("q50_in_rank_tol"),
-          (col("np") < 52 || col("aq99").isNull
-            || (col("aq99") >= element_at(col("bp"), 1)
-            && col("aq99") <= element_at(col("bp"), 2))).as("q99_in_rank_tol"))
+          // `nq < 52 ||`: below 52 values the window is narrower than
+          // one rank step — the verdict claims nothing rather than
+          // asserting an unsound bound (degenerate-universe corpus:
+          // 3-row groups legitimately landed outside). `.isNull ||`: an
+          // all-NULL measure sketches to NULL — claim nothing instead of
+          // going NULL, keeping parity with the oracle's literal TRUE
+          // (round-10 ADVICE). `isnan ||`: a NaN sketch value has no
+          // defined rank (NaN comparisons are all-false on the count
+          // side) — same claim-nothing verdict; real corpora gate at
+          // nq < 52 long before NaN dominates a 52-value group.
+          (col("nq") < 52 || col("aq50").isNull || isnan(col("aq50"))
+            || (col("lt50") <= col("nq") * 0.51
+            && col("le50") >= col("nq") * 0.49 - 1)).as("q50_in_rank_tol"),
+          (col("np") < 52 || col("aq99").isNull || isnan(col("aq99"))
+            || (col("lt99") <= col("np") * 0.995
+            && col("le99") >= col("np") * 0.98 - 1)).as("q99_in_rank_tol"))
     }),
 
     "agg_rollup" -> ((s, d) => {

@@ -110,13 +110,19 @@ object Similarity extends QueryModule {
   private def duckUsableVec(e: String): String =
     s"(len($e) = 64 AND len(list_filter($e, x -> x IS NULL OR NOT isfinite(x))) = 0)"
 
-  /** Oracle twin of Spark's pmod(label, IvfCells) cell fold: DuckDB %
-    * preserves sign where pmod is non-negative, so a NEGATIVE label
-    * (signed-hash/corrupt metadata — emb_dirty corpus) would silently
-    * land in a different cell space under a bare `%`.
+  /** Deterministic sampling hash on vec_id — the trainer's row-selection
+    * key, identical in both engines. The inner pmod folds vec_id below
+    * 2³¹ BEFORE the multiply so the affine step can't overflow a BIGINT
+    * under ANSI ((2³¹−1)·1103515245 ≈ 2.4e18 < 2⁶³); every intermediate
+    * is non-negative, so DuckDB's sign-preserving % agrees with pmod at
+    * each step (spelled as the usual ((x % m + m) % m) anyway for the
+    * one step whose argument is raw input).
     */
-  private def duckCell: String =
-    s"(((label % $IvfCells) + $IvfCells) % $IvfCells)"
+  private val HashM = 2147483647L
+  private def sparkHash: String =
+    s"pmod(pmod(vec_id, $HashM) * 1103515245 + 12345, $HashM)"
+  private def duckHash: String =
+    s"((((vec_id % $HashM + $HashM) % $HashM) * 1103515245 + 12345) % $HashM)"
 
   /** Same arithmetic via the codegen'd native expression (graft.functions
     * .DotF32) — used on the hot paths; `expr_cosine` keeps the pure-HOF
@@ -138,31 +144,92 @@ object Similarity extends QueryModule {
   private def duckCosineSafe(a: String, b: String): String =
     s"(CASE WHEN ${duckWellFormed(a)} AND ${duckWellFormed(b)} AND NOT isnan(${duckCosine(a, b)}) THEN round(${duckCosine(a, b)}, 6) END)"
 
-  /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe. */
-  private def duckIvf(nprobe: Int): String = s"""
-      WITH cent AS (
+  /** Oracle twin of [[trainCentroids]] + nearest-centroid assignment —
+    * the shared CTE chain (no leading WITH) every trained-quantizer
+    * oracle starts from. Stage for stage: usable corpus → sampling hash
+    * → hash-sampled training subset → the IvfCells lowest-hash sampled
+    * vectors as seeds (cell id = rank in that order) → each sampled
+    * vector assigned to its nearest seed (r6-rounded cosine, cell-asc
+    * tie-break — the row_number twin of Spark's packed argmax; both
+    * break an all-NULL group to the minimum cell because DuckDB orders
+    * NULLS LAST under DESC) → per-cell per-dim mean = trained centroid
+    * (+ its norm) → every usable vector assigned to its nearest trained
+    * centroid (`cellof`).
+    */
+  private def duckTrained: String = s"""
+      u AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE ${duckUsableVec("embedding")}),
+      samp AS (
+        SELECT vec_id, embedding FROM u
+        WHERE $duckHash % $IvfSampleMod = 0),
+      seeds AS (
+        SELECT embedding AS seed_emb, CAST(rn - 1 AS BIGINT) AS cell
+        FROM (SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY $duckHash, vec_id) AS rn
+              FROM samp)
+        WHERE rn <= $IvfCells),
+      sassign AS (
+        SELECT s.vec_id, seeds.cell,
+               round(${duckDot("s.embedding", "seed_emb")}
+                 / (sqrt(${duckDot("s.embedding", "s.embedding")})
+                    * sqrt(${duckDot("seed_emb", "seed_emb")})), 6) AS ccos
+        FROM samp s, seeds),
+      sbest AS (
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cell) AS rn
+          FROM sassign) WHERE rn = 1),
+      cent AS (
         SELECT cell, list(m ORDER BY i) AS c FROM (
-          SELECT ${duckCell} AS cell, i,
-                 avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-          FROM embeddings, range(1, 65) t(i)
-          WHERE ${duckUsableVec("embedding")}
+          SELECT sbest.cell AS cell, i,
+                 avg(CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+          FROM samp s JOIN sbest ON s.vec_id = sbest.vec_id, range(1, 65) t(i)
           GROUP BY cell, i)
         GROUP BY cell),
-      probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+      centn AS (
+        SELECT cell, c,
+               sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i]))) AS cnorm
+        FROM cent),
+      norms AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${duckDot("embedding", "embedding")}) AS norm
+        FROM u),
+      assigned AS (
+        SELECT n.vec_id, centn.cell,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * c[i]))
+                     / (n.norm * centn.cnorm), 6) AS ccos
+        FROM norms n, centn),
+      cellof AS (
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cell) AS rn
+          FROM assigned) WHERE rn = 1)"""
+
+  /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe.
+    * The probe CTE reads from the usable-filtered `u`, matching the
+    * Spark side's filtered probe (r12 ADVICE: an unfiltered probe CTE
+    * would return a top-5 where Spark returns zero rows if vec_id 0
+    * were ever malformed).
+    */
+  private def duckIvf(nprobe: Int): String = s"""
+      WITH $duckTrained,
+      probe AS (SELECT embedding AS p FROM u WHERE vec_id = 0),
       best AS (
-        SELECT cell FROM cent, probe
+        SELECT cell FROM centn, probe
         ORDER BY round(
           list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
-          / (sqrt(${duckDot("p", "p")})
-             * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6) DESC,
+          / (sqrt(${duckDot("p", "p")}) * cnorm), 6) DESC,
           cell
         LIMIT $nprobe)
-      SELECT vec_id, label,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
-      FROM embeddings, probe, best
-      WHERE ${duckCell} = best.cell AND vec_id <> 0
-        AND ${duckUsableVec("embedding")}
-      ORDER BY cos DESC, vec_id LIMIT 5
+      SELECT n.vec_id, n.label,
+             round(${duckCosine("n.embedding", "p")}, 6) AS cos
+      FROM norms n
+        JOIN cellof ON n.vec_id = cellof.vec_id
+        JOIN best ON cellof.cell = best.cell, probe
+      WHERE n.vec_id <> 0
+      ORDER BY cos DESC, n.vec_id LIMIT 5
     """
 
   /** Sign-LSH plane count — the bucket-geometry scale knob of the ANN
@@ -174,7 +241,7 @@ object Similarity extends QueryModule {
     * cross-engine gate holds at any plane count.
     */
   private[graft] val LshPlanes: Int =
-    sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.toInt).getOrElse(8)
+    T.envInt("SPARK_GRAFT_LSH_PLANES", 8, min = 1, max = 30)
 
   /** Deterministic LSH hyperplane weight for (plane p, 1-based dim i):
     * pseudo-random int in [-998, 998] from fixed affine arithmetic —
@@ -190,12 +257,13 @@ object Similarity extends QueryModule {
     */
   private def planeW(p: Int): String =
     s"(CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i - 1) + 12345) % 1997 AS DOUBLE) - 998)"
-  private def planeWeight(p: Int, i: Int): Long =
+  private[graft] def planeWeight(p: Int, i: Int): Long =
     (1103515245L * (p * 64 + i - 1) + 12345L) % 1997L - 998L
-  private def sparkBucket(emb: String): String = {
-    require(LshPlanes >= 1 && LshPlanes <= 30,
-      s"LSH plane count must fit an INT bucket: $LshPlanes")
-    (0 until LshPlanes).map { p =>
+  // planes parameterized (default = the knob) so GenPropertySpec can
+  // prove the bucketing arithmetic and the radius-1 recall contract at
+  // EVERY admissible plane count, not just the env default.
+  private[graft] def sparkBucket(emb: String, planes: Int = LshPlanes): String = {
+    (0 until planes).map { p =>
       val arr = (1 to 64).map(i => s"CAST(${planeWeight(p, i)} AS DOUBLE)")
         .mkString("array(", ", ", ")")
       s"shiftleft(CASE WHEN dot_f32f64($emb, $arr) > 0 THEN 1 ELSE 0 END, $p)"
@@ -230,42 +298,155 @@ object Similarity extends QueryModule {
       r6(expr(ncosine("embedding", "probe_emb"))).as("cos"))
 
   /** Coarse-quantizer cell count (IVF "nlist") — THE scale knob of the
-    * cell-blocked embedding family (sim_ivf_*, dedup_embed_cosine). The
-    * trainer folds the label alphabet into at most IvfCells cells
-    * (pmod), which is the identity at fixture scale (every corpus's
-    * labels < 16), so plans, results, and oracle values are unchanged
-    * there.
+    * cell-blocked embedding family (sim_ivf_*, dedup_embed_cosine).
+    * Seed count for [[trainCentroids]]: at most IvfCells centroids are
+    * trained (cells no sampled vector chose don't materialize).
     *
     * 100 TB sizing rule (the r11 verdict's one recorded scale caveat,
     * now a documented knob): the within-cell self-join costs ~N²/cells
     * pairs, so set IvfCells ≈ √N for N corpus vectors (10⁹ vectors →
     * ~30k cells), bounding the blocked pair space to ~N^1.5 with each
-    * cell's shard ≈ √N rows. At that scale, train the centroids from a
-    * SAMPLE (k-means or hashed seeds) instead of the label fold — the
-    * assign → block → within-cell-join structure and this knob are what
-    * carry over, not the toy trainer. SURVEY §7.6 records the same rule.
+    * cell's shard ≈ √N rows. SURVEY §7.6 records the same rule.
     *
     * `SPARK_GRAFT_IVF_CELLS` overrides the default 16 so the rule is
     * exercisable, not just documented: every consumer — trainer, cell
-    * assignment, AND the generated oracle SQL (`duckCell`) — reads
+    * assignment, AND the generated oracle SQL ([[duckTrained]]) — reads
     * this one constant in the same JVM, so the cross-engine gate stays
-    * valid at any cell count (validated on the ×16 label-diversified
-    * scale-probe corpus, BASELINE.md round-12 session 5).
+    * valid at any cell count (validated on the ×16 scale-probe corpus,
+    * BASELINE.md round-12 session 5).
     */
+  // max = 2^21 − 2: the packed-argmax cell field is 21 bits and the
+  // all-ones value is reserved (mask − cell must stay non-negative and
+  // distinguishable) — the same bound the dedup_embed_cosine require
+  // used to re-check locally.
   private[graft] val IvfCells: Int =
-    sys.env.get("SPARK_GRAFT_IVF_CELLS").map(_.toInt).getOrElse(16)
+    T.envInt("SPARK_GRAFT_IVF_CELLS", 16, min = 1, max = (1 << 21) - 2)
 
-  /** Quantizer "training": one mean-vec centroid per cell, cell = label
-    * folded into IvfCells — ONE recipe shared by sim_ivf_* and
-    * dedup_embed_cosine so the oracles mirror a single SQL shape.
+  /** Trainer sampling rate: the quantizer trains on the ~1/mod of the
+    * usable corpus whose vec_id hash lands on 0 — the piece of the IVF
+    * recipe that makes it 100 TB-honest (k-means-style training reads a
+    * SAMPLE, never the corpus; at 10⁹ vectors set mod ~10⁴ so the
+    * training subset stays ~10⁵ rows regardless of N). Default 2 so the
+    * sampling path is always EXERCISED, not a fixture-silent identity;
+    * the oracle generator reads the same constant, so the gate holds at
+    * any rate.
     */
-  private def trainCentroids(e: DataFrame): DataFrame =
-    e.groupBy(pmod(col("label"), lit(IvfCells)).as("cell"))
+  private[graft] val IvfSampleMod: Int =
+    T.envInt("SPARK_GRAFT_IVF_SAMPLE_MOD", 2, min = 1, max = 1 << 30)
+
+  // Packed-argmax geometry (see the dedup_embed_cosine scaladoc for the
+  // derivation): cell ids take 21 bits, the r6-rounded cosine is an
+  // exact integer count of millionths in [-1e6, 1e6].
+  private val CellBits = 21
+  private val CellMask = (1L << CellBits) - 1
+
+  /** The (ccos DESC, cell ASC) winner per vec_id over (vec_id, cell,
+    * ccos) rows, by packed-long HASH aggregation — never a window
+    * (WindowExec would exchange and sort the whole N×cells candidate
+    * stream) and never max(struct) (non-mutable buffer ⇒ silent
+    * SortAggregate). ccos MUST be r6-rounded: the packing multiplies by
+    * 1e6 and floor(x + 0.5) recovers the exact grid integer. max() skips
+    * NULL scores; an all-NULL group (zero vector — cosine undefined
+    * against every centroid) falls back to min(cell) via coalesce,
+    * matching the oracle's NULLS-LAST row_number tie-break.
+    */
+  private def argmaxCell(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("vec_id"),
+        expr(s"shiftleft(floor(ccos * 1000000.0D + 0.5D), $CellBits) + ($CellMask - cell)").as("p"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("p")).as("mp"), min(col("cell")).as("mc"))
+      .select(col("vec_id"),
+        coalesce(lit(CellMask) - col("mp").bitwiseAND(lit(CellMask)), col("mc")).as("cell"))
+
+  /** Quantizer training, label-INDEPENDENT (r12 verdict task 1 — the old
+    * trainer folded the fixture's label metadata column, which real
+    * unlabeled corpora don't have). K-means-style with deterministic
+    * arithmetic in place of RNG, ONE recipe shared by sim_ivf_* and
+    * dedup_embed_cosine so the oracles mirror a single SQL shape
+    * ([[duckTrained]]):
+    *
+    *  1. SAMPLE: usable vectors whose vec_id hash ≡ 0 (mod
+    *     [[IvfSampleMod]]) — at scale the trainer reads ~N/mod rows,
+    *     never the corpus;
+    *  2. SEEDS: the [[IvfCells]] lowest-hash sampled vectors, cell id =
+    *     rank in (hash, vec_id) order — the deterministic stand-in for
+    *     k-means++ random init, identical in both engines;
+    *  3. one Lloyd step: each sampled vector joins its nearest seed
+    *     (r6-rounded cosine, cell-asc tie-break via the packed argmax),
+    *     and the per-cell mean (the mean_vec UDAF) is the trained
+    *     centroid. Cells no sampled vector chose simply don't exist —
+    *     consistent in both engines.
+    *
+    * The seed-rank window runs over ≤ IvfCells rows (post-LIMIT, knob-
+    * bounded, never data-scaled); everything data-sized is hash-agg or
+    * broadcast-join shaped. Input `e` must be usable-filtered (corrupt
+    * rows must not poison centroids — emb_dirty contract).
+    */
+  private def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    registerMeanVec(s)
+    val samp = e.select(col("vec_id"), col("embedding"),
+        expr(sparkHash).as("hv"))
+      .filter(col("hv") % IvfSampleMod === 0)
+    val seeds = samp.orderBy(col("hv"), col("vec_id")).limit(IvfCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("hv"), col("vec_id"))) - 1)
+          .cast("long"))
+      .select(col("cell"), col("embedding").as("seed_emb"),
+        expr("sqrt(dot_f32(embedding, embedding))").as("snorm"))
+    val sassign = samp.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        r6(expr("dot_f32(embedding, seed_emb)") /
+          nullif(expr("sqrt(dot_f32(embedding, embedding))") * col("snorm"),
+            lit(0.0))).as("ccos"),
+        col("cell"))
+    samp.select(col("vec_id"), col("embedding"))
+      .join(argmaxCell(sassign), Seq("vec_id"))
+      .groupBy(col("cell"))
       .agg(expr("mean_vec(embedding)").as("c"))
+  }
+
+  /** Trained centroids + their norms (norm once per centroid on the
+    * broadcast side, never per candidate row). The centroid self-dot
+    * stays HOF — cells rows, not a hot path.
+    */
+  private def centroidsWithNorm(cents: DataFrame): DataFrame = {
+    val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    cents.withColumn("cnorm", expr(s"sqrt($dotCC)"))
+  }
+
+  /** Every vector of `e` (vec_id, embedding, norm) assigned to its
+    * nearest trained centroid — N×cells codegen'd dot_f32f64 products,
+    * argmax by hash aggregation (one N-row exchange regardless of the
+    * cell count; the r12 session-5 adjudication).
+    */
+  private def assignCells(e: DataFrame, centsN: DataFrame): DataFrame =
+    argmaxCell(e.crossJoin(broadcast(centsN))
+      .select(col("vec_id"),
+        r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"),
+        col("cell")))
+
+  /** Full-corpus cell membership under the trained quantizer — also the
+    * spec-side hook (PipelineOpsSpec recomputes the exact in-cell top-5
+    * from this assignment).
+    */
+  private[graft] def cellAssignment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = embeddings(s, d).filter(expr(usableVec("embedding")))
+    val centsN = centroidsWithNorm(trainCentroids(s, e))
+    assignCells(
+      e.select(col("vec_id"), col("embedding"),
+        expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
+      centsN)
+  }
 
   /** IVF search: route the probe to its `nprobe` nearest coarse cells
-    * (mean-embedding centroids from the vector-avg UDAF), then exact
-    * top-5 within their union.
+    * (trained centroids), then exact top-5 within the union of those
+    * cells' members (membership = nearest trained centroid — the same
+    * assignment the index build materializes as the partition key at
+    * scale).
     */
   private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -275,24 +456,29 @@ object Similarity extends QueryModule {
     // and a dimension mismatch is a loud UDAF require — both are
     // drop-not-kill at this surface.
     val e = embeddings(s, d).filter(expr(usableVec("embedding")))
-    val cents = trainCentroids(e)
+    // Persisted: the tiny (≤ IvfCells rows) centroid table is broadcast
+    // into BOTH the probe-routing and the full-corpus assignment below;
+    // without compute-once caching the whole sample→seed→Lloyd training
+    // chain runs twice.
+    val centsN = centroidsWithNorm(trainCentroids(s, e)).persist()
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
-    // f32×f64 and f64×f64 dots stay HOF (mixed types); same fold order.
-    val dotPC = "aggregate(zip_with(probe_emb, c, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    val bestCells = cents.crossJoin(broadcast(probe))
+    val bestCells = centsN.crossJoin(broadcast(probe))
       .select(col("cell"),
-        r6(expr(s"$dotPC / nullif(sqrt(dot_f32(probe_emb, probe_emb)) * sqrt($dotCC), CAST(0 AS DOUBLE))")).as("ccos"))
+        r6(expr("dot_f32f64(probe_emb, c) / nullif(sqrt(dot_f32(probe_emb, probe_emb)) * cnorm, CAST(0 AS DOUBLE))")).as("ccos"))
       .orderBy(desc("ccos"), col("cell"))
       .limit(nprobe)
-    // Join on the SAME pmod fold the trainer uses — a raw label
-    // comparison silently drops negative labels out of their own cell
-    // (identical at fixture alphabets, wrong on signed-hash metadata;
-    // emb_dirty corpus).
-    scored(probeScored(s, d, onlyUsable = true)
-        .join(broadcast(bestCells),
-          pmod(col("label"), lit(IvfCells)) === col("cell")))
+    val cellOf = assignCells(
+      e.select(col("vec_id"), col("embedding"),
+        expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
+      centsN)
+    // Prune membership to the probed cells FIRST (broadcast nprobe-row
+    // join), so only ~N·nprobe/cells candidate ids reach the scoring
+    // join.
+    val members = cellOf.join(broadcast(bestCells.select(col("cell"))), Seq("cell"))
+    scored(e.filter(col("vec_id") =!= 0)
+        .join(members.select(col("vec_id")), Seq("vec_id"))
+        .crossJoin(broadcast(probe)))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
@@ -357,12 +543,13 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
-    // IVF-style ANN: coarse cells = per-label mean embeddings (the
-    // vector-avg UDAF doubles as the quantizer "training"); the probe
-    // routes to its nearest centroid (cosine, r6-rounded, label
-    // tie-break), then exact top-5 WITHIN that cell only. At scale the
-    // cell id is the partition key: a probe touches one cell's shard,
-    // and nprobe>1 multi-cell search is the recall knob.
+    // IVF-style ANN: coarse cells trained label-free from a hash
+    // sample (trainCentroids — deterministic k-means-style Lloyd step);
+    // the probe routes to its nearest centroid (cosine, r6-rounded,
+    // cell tie-break), then exact top-5 WITHIN that cell's members
+    // only. At scale the cell id is the partition key: a probe touches
+    // one cell's shard, and nprobe>1 multi-cell search is the recall
+    // knob.
     "sim_ivf_topk" -> ((s, d) => ivfTopk(s, d, nprobe = 1)),
 
     // IVF with nprobe=2: search the TWO nearest cells — the standard
@@ -381,12 +568,14 @@ object Similarity extends QueryModule {
     // cell — blocking on coarse QUANTIZATION cells (nearest mean_vec
     // centroid by r6-rounded cosine, cell-asc tie-break: the sim_ivf_topk
     // assignment recipe applied to every vector, not just the probe), NOT
-    // on the label metadata column. This is the honest 100 TB shape: the
+    // on any metadata column. This is the honest 100 TB shape: the
     // centroid count k is the knob that bounds the pair space to n²/k,
     // and the cell id is the one shuffle key; label-blocking (the r5
     // form) only worked because the fixture had a convenient category
-    // column. Cosine rounded BEFORE ranking so ties break identically in
-    // both engines (by neighbor id).
+    // column — and the r12 label-FOLD trainer still leaned on it; the
+    // trained quantizer (r13) needs no labels at all. Cosine rounded
+    // BEFORE ranking so ties break identically in both engines (by
+    // neighbor id).
     "dedup_embed_cosine" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       registerMeanVec(s)
@@ -404,69 +593,37 @@ object Similarity extends QueryModule {
         .filter(expr(usableVec("embedding")))
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
-      // Coarse quantizer "training": shared trainCentroids recipe
-      // (identical to sim_ivf_topk, so the oracle mirrors the same SQL;
-      // IvfCells is the scale knob — see its scaladoc for the √N rule).
-      val cents = trainCentroids(e.select(col("label"), col("embedding")))
-      // Assignment COMPUTE is the cells-scaling term (×16 probe corpus,
-      // r12 session 5): the vector×centroid cosine runs N×cells times,
-      // and spelled as interpreted HOF folds it grew the key 12.0 s →
-      // 25.0 s when cells went 16 → 64 — the exact opposite of what
-      // raising the cell count is FOR. Two fixes, same arithmetic:
-      // the f32×f64 dot is the codegen'd dot_f32f64 expression
-      // (bit-identical fold contract, see VectorExpressions), and the
-      // centroid self-norm is computed ONCE per centroid on the
-      // broadcast side instead of once per candidate row. The centroid
-      // self-dot stays HOF — cells rows, not a hot path.
-      val dotCC = "aggregate(zip_with(c, c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-      val centsN = cents.withColumn("cnorm", expr(s"sqrt($dotCC)"))
-      // Argmax by PACKED-LONG hash aggregation (r12 session 5, third
-      // iteration — the executed plan told on the first two): neither a
-      // row_number window nor a max over a STRUCT is the scale-correct
-      // "best cell / best neighbor". WindowExec exchanges AND sorts the
-      // whole candidate/pair stream; max(struct) and first(array) have
-      // non-mutable aggregation buffers, so Spark silently plans
-      // Sort + SortAggregate — the partial aggregate SORTS all N×cells
-      // candidate rows and all within-cell pair rows inside every task
-      // (the ×64 probe point, 128 k vectors × 256 cells, spent ~210 s
-      // mostly in those sorts). The r6-rounded cosine is EXACTLY an
-      // integer count of millionths in [-1e6, 1e6], so (score, id)
-      // packs losslessly into one BIGINT:
+      // Coarse quantizer: the shared label-independent trainCentroids /
+      // assignCells recipe (identical to sim_ivf_topk, so the oracle
+      // mirrors one SQL shape; IvfCells is the scale knob — see its
+      // scaladoc for the √N rule). Assignment COMPUTE is the
+      // cells-scaling term (×16 probe corpus, r12 session 5): N×cells
+      // cosines spelled as interpreted HOF folds grew this key 12.0 s →
+      // 25.0 s when cells went 16 → 64 — assignCells keeps the dot
+      // codegen'd (dot_f32f64), the centroid norm broadcast-side, and
+      // the argmax a packed-long HASH aggregation (argmaxCell: neither a
+      // window — WindowExec exchanges and sorts the whole candidate
+      // stream — nor max(struct), whose non-mutable buffer silently
+      // plans SortAggregate). Packing derivation: the r6-rounded cosine
+      // is exactly an integer count of millionths in [-1e6, 1e6], so
       //     packed = floor(score·1e6 + 0.5) << idBits  +  (mask − id)
-      // max(packed) = highest score then LOWEST id — the window's
-      // (score DESC NULLS LAST, id ASC) order — because max() skips
-      // NULL scores; an all-NULL group (the zero vector again) falls
-      // back to the separate min(id) via coalesce. Long max/min buffers
-      // are mutable primitives ⇒ HashAggregate, true map-side combine,
-      // no sort, whole-stage codegen; decode is shift/mask arithmetic
-      // (arithmetic >> floors negative scaled scores correctly, & takes
-      // the non-negative id field), and scaled/1e6 is correctly rounded
-      // so the score round-trips bit-identically to r6's output.
-      // floor(x + 0.5) recovers the exact integer: x is within ~1e-10
-      // of it, and floor(double)'s long saturation can't bite at |x| ≤
-      // 1e6 + 0.5. Id widths: cells 21 bits (require below guards the
-      // knob), neighbor ids 41 bits (|scaled|·2^41 ≤ 2^61; the
-      // assert_true on `e` fails LOUDLY if a corpus ever carries ids
+      // and max(packed) = highest score then LOWEST id; decode is
+      // shift/mask arithmetic (arithmetic >> floors negative scaled
+      // scores correctly), and scaled/1e6 round-trips bit-identically to
+      // r6's output. Id widths: cells 21 bits (guarded on the IvfCells
+      // knob initializer), neighbor ids 41 bits (|scaled|·2^41 ≤ 2^61;
+      // the assert_true below fails LOUDLY if a corpus ever carries ids
       // outside [0, 2^41) — corrupt structural metadata is the loud
       // tier of the dirty-data contract, unlike droppable vector rows).
-      val CellBits = 21
-      val cellMask = (1L << CellBits) - 1
-      require(IvfCells < cellMask,
-        s"cell id must fit $CellBits bits for the packed argmax: $IvfCells")
+      val centsN = centroidsWithNorm(
+        trainCentroids(s, e.select(col("vec_id"), col("embedding"))))
       val NnBits = 41
       val nnMask = (1L << NnBits) - 1
       val eChecked = e.filter(expr(
         s"assert_true(vec_id >= 0 AND vec_id <= $nnMask, " +
           "'vec_id outside the 41-bit packed-argmax id width') IS NULL"))
-      val assigned = eChecked.crossJoin(broadcast(centsN))
-        .select(col("vec_id"), col("cell"),
-          r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"))
-        .select(col("vec_id"), col("cell"),
-          expr(s"shiftleft(floor(ccos * 1000000.0D + 0.5D), $CellBits) + ($cellMask - cell)").as("p"))
-      val best = assigned.groupBy(col("vec_id"))
-        .agg(max(col("p")).as("mp"), min(col("cell")).as("mc"))
-        .select(col("vec_id"),
-          coalesce(lit(cellMask) - col("mp").bitwiseAND(lit(cellMask)), col("mc")).as("cell"))
+      val best = assignCells(
+        eChecked.select(col("vec_id"), col("embedding"), col("norm")), centsN)
       // Cached: both arms of the self-join below consume cellOf, and the
       // two aliased subtrees are NOT exchange-reused — without
       // compute-once caching the whole centroid-train + assign + rank
@@ -641,34 +798,15 @@ object Similarity extends QueryModule {
       ORDER BY vec_id
     """,
 
-    // Mirrors the Spark plan stage for stage: same centroid training SQL
-    // as duckIvf, same r6-rounded cosine assignment with cell-asc
-    // tie-break, kNN within assigned cell.
+    // Mirrors the Spark plan stage for stage: same trained-quantizer SQL
+    // as duckIvf (duckTrained's sample → seed → Lloyd → assign chain),
+    // same r6-rounded cosine assignment with cell-asc tie-break, kNN
+    // within assigned cell.
     "dedup_embed_cosine" -> s"""
-      WITH cent AS (
-        SELECT cell, list(m ORDER BY i) AS c FROM (
-          SELECT ${duckCell} AS cell, i,
-                 avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-          FROM embeddings, range(1, 65) t(i)
-          WHERE ${duckUsableVec("embedding")}
-          GROUP BY cell, i)
-        GROUP BY cell),
-      n AS (
-        SELECT vec_id, embedding,
-               sqrt(${duckDot("embedding", "embedding")}) AS norm
-        FROM embeddings WHERE ${duckUsableVec("embedding")}),
-      assigned AS (
-        SELECT vec_id, embedding, norm, cell,
-               round(
-                 list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * c[i]))
-                 / (norm * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))), 6)
-                 AS ccos
-        FROM n, cent),
-      cellof AS (
-        SELECT vec_id, embedding, norm, cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY ccos DESC, cell) AS rn
-          FROM assigned) WHERE rn = 1),
+      WITH $duckTrained,
+      cellofn AS (
+        SELECT n.vec_id, n.embedding, n.norm, cellof.cell
+        FROM norms n JOIN cellof ON n.vec_id = cellof.vec_id),
       pairs AS (
         -- + 0.0 normalizes a negative-zero cosine (reachable with -0.0
         -- components): the Spark side's packed-argmax decode can only
@@ -676,7 +814,7 @@ object Similarity extends QueryModule {
         -- both engines compare -0.0 = 0.0 as equal.
         SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS nn_id,
                round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) + 0.0 AS cos
-        FROM cellof a JOIN cellof b
+        FROM cellofn a JOIN cellofn b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id

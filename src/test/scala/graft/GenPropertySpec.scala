@@ -962,4 +962,69 @@ class GenPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // The multiprobe recall contract (r12 verdict task 4): radius-1
+  // multiprobe DETERMINISTICALLY retrieves every vector whose sign-LSH
+  // bucket differs from the probe's in at most one plane — i.e. every
+  // vector that agrees with the probe on all but ≤ 1 hyperplane side.
+  // Now that LshPlanes is a runtime knob, the contract (and the
+  // bucketing arithmetic it rests on) must hold at EVERY admissible
+  // plane count, not just the shipped default — same treatment the r12
+  // simhash-geometry property gave the band knob.
+  test("multiprobe radius-1 recall holds at every LSH plane count") {
+    graft.functions.VectorFunctions.register(spark)
+    val vecGen: Gen[List[Array[Float]]] = for {
+      n <- Gen.chooseNum(4, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(64,
+        Gen.chooseNum(-1000, 1000).map(_ / 97.0f)))
+    } yield vs.map(_.toArray)
+    forAll(vecGen) { vecs =>
+      import spark.implicits._
+      val docs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = docs.toDF("vec_id", "embedding")
+      for (planes <- Seq(1, 2, 5, 8, 13, 30)) {
+        // Scala twin of the engine's bucketing: the SAME ascending-i
+        // (double)f32 × f64 fold dot_f32f64 codegens, sign per plane.
+        def refBucket(v: Array[Float]): Long =
+          (0 until planes).map { p =>
+            var acc = 0.0
+            var i = 0
+            while (i < 64) {
+              acc += v(i).toDouble * operators.Similarity.planeWeight(p, i + 1)
+              i += 1
+            }
+            if (acc > 0) 1L << p else 0L
+          }.sum
+        val got = df.withColumn("bucket",
+            expr(operators.Similarity.sparkBucket("embedding", planes)))
+          .select(col("vec_id"), col("bucket").cast("long")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = docs.map { case (id, v) => id -> refBucket(v) }.toMap
+        // 1. bucketing arithmetic parity — what keeps the oracle's HOF
+        //    spelling equal to the codegen'd literal-array dots at any
+        //    plane count (bucket id is an output column of the ANN keys).
+        assert(got == want, s"bucket mismatch at planes=$planes: " +
+          s"${got.toSeq.diff(want.toSeq).take(3)}")
+        // 2. the recall bound: engine-filtered radius-1 retrieval ==
+        //    {≤ 1 divergent plane} reference set, and ⊇ exact-bucket set.
+        val probeBucket = want(0L)
+        val retrieved = df.withColumn("bucket",
+            expr(operators.Similarity.sparkBucket("embedding", planes)))
+          .filter(expr(s"bit_count(bucket ^ ${probeBucket}L) <= 1") &&
+            col("vec_id") =!= 0)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        val wantSet = docs.collect {
+          case (id, _) if id != 0L &&
+            java.lang.Long.bitCount(want(id) ^ probeBucket) <= 1 => id
+        }.toSet
+        val exactSet = docs.collect {
+          case (id, _) if id != 0L && want(id) == probeBucket => id
+        }.toSet
+        assert(retrieved == wantSet,
+          s"radius-1 recall broken at planes=$planes: got $retrieved want $wantSet")
+        assert(exactSet.subsetOf(retrieved),
+          s"multiprobe lost a same-bucket vector at planes=$planes")
+      }
+    }
+  }
 }

@@ -273,22 +273,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)
       .select(col("vec_id"), col("cos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    val cells = ivf.map(_._1).toSet
-    // recompute: brute-force within the label of the returned rows
-    val label = embeddings(spark, sf)
-      .filter(col("vec_id").isin(cells.toSeq.map(Long.box): _*))
-      .select(col("label")).distinct().collect()
-    assert(label.length == 1, "all IVF hits come from one cell")
-    val l = label(0).getInt(0)
+    val hits = ivf.map(_._1).toSet
+    // Recompute membership independently via the trained-quantizer
+    // assignment (the label-based recompute died with the r12 label-fold
+    // trainer: cells are now label-free).
+    val cellOf = graft.operators.Similarity.cellAssignment(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hitCells = hits.map(cellOf)
+    assert(hitCells.size == 1, s"all IVF hits come from one cell: $hitCells")
+    val members = cellOf.collect {
+      case (id, c) if c == hitCells.head && id != 0 => Long.box(id)
+    }.toSeq
     val probe = embeddings(spark, sf).filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
     val exact = embeddings(spark, sf)
-      .filter(col("label") === l && col("vec_id") =!= 0)
+      .filter(col("vec_id").isin(members: _*))
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
         r6(expr("dot_f32(embedding, probe_emb) / (sqrt(dot_f32(embedding, embedding)) * sqrt(dot_f32(probe_emb, probe_emb)))")).as("cos"))
       .orderBy(desc("cos"), col("vec_id")).limit(5).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("ivf: trained quantizer is label-independent and covers the usable corpus") {
+    graft.functions.VectorFunctions.register(spark)
+    val assign = graft.operators.Similarity.cellAssignment(spark, sf)
+    val usable = embeddings(spark, sf).filter(
+      expr("size(embedding) = 64 AND dot_f32(embedding, embedding) IS NOT NULL" +
+        " AND NOT isnan(dot_f32(embedding, embedding))" +
+        " AND dot_f32(embedding, embedding) <> CAST('Infinity' AS DOUBLE)"))
+    // total: every usable vector gets exactly one cell
+    assert(assign.count() == usable.count())
+    assert(assign.select("vec_id").distinct().count() == assign.count())
+    // cells within the knob's range, and more than one materializes on
+    // the fixture (the quantizer actually partitions the space)
+    val cells = assign.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < graft.operators.Similarity.IvfCells))
+    assert(cells.length > 1, s"degenerate quantizer: ${cells.length} cell(s)")
   }
 }

@@ -633,6 +633,106 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // Version-SKEW restart (r12 verdict task 5): the production failure the
+  // same-code restart pins can't see is a deploy that changes the state
+  // layout and then restarts on the OLD checkpoint. The contract has
+  // exactly two acceptable outcomes — resume with restored state, or a
+  // LOUD state-schema-incompatibility error — and one catastrophic one:
+  // the query runs and silently starts from empty state (totals reset to
+  // the new arrivals only). This golden builds a committed v1 checkpoint
+  // (ValueState[Long] on RocksDB, one committed batch), "deploys" a v2
+  // processor whose same-named state variable is a (Long, Long) tuple,
+  // restarts on the same checkpoint, and asserts the outcome is never
+  // the silent third.
+  test("state-layout skew on a committed checkpoint: resume or loud error, never silent reset") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import spark.implicits._
+
+    class V1 extends StatefulProcessor[String, (String, Long), (String, Long)] {
+      @transient private var total: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total",
+          implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+          timers: TimerValues): Iterator[(String, Long)] = {
+        val t = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(t)
+        Iterator.single((key, t))
+      }
+    }
+    // Same state variable NAME, different value layout — the minimal
+    // honest schema skew (a deploy that widens the accumulator).
+    class V2 extends StatefulProcessor[String, (String, Long), (String, Long)] {
+      @transient private var total: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[(Long, Long)]("total",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+          timers: TimerValues): Iterator[(String, Long)] = {
+        val (s0, n0) = if (total.exists()) total.get() else (0L, 0L)
+        val add = rows.map(_._2).sum
+        total.update((s0 + add, n0 + 1))
+        Iterator.single((key, s0 + add))
+      }
+    }
+
+    val in   = java.nio.file.Files.createTempDirectory("graft_skew_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_skew_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_skew_ck").toString
+    Seq(("a.webm", 3L), ("a.webm", 2L)).toDF("file", "n")
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(proc: StatefulProcessor[String, (String, Long), (String, Long)]): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+        .toDF("file", "total")
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    try {
+      run(new V1) // committed v1 checkpoint: a.webm → 5
+      Seq(("a.webm", 5L)).toDF("file", "n").write.mode("append").parquet(in)
+      val outcome = try { run(new V2); None } catch {
+        case e: Throwable =>
+          // unwrap StreamingQueryException to the root cause chain
+          Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(x => x.getClass.getName + ": " + String.valueOf(x.getMessage))
+            .mkString(" <- "))
+      }
+      outcome match {
+        case Some(msg) =>
+          // LOUD is acceptable — but it must be the state-schema guard
+          // speaking, not an unrelated crash.
+          assert(msg.toLowerCase.contains("schema") || msg.toLowerCase.contains("state"),
+            s"skewed restart failed for an unrelated reason: $msg")
+        case None =>
+          // It ran: the only acceptable emission is a RESUMED total
+          // (5 restored + 5 new = 10). A fresh-state 5 is silent loss.
+          val last = spark.read.parquet(out).groupBy("file")
+            .agg(max("total").as("total"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          assert(last("a.webm") == 10L,
+            s"SILENT STATE LOSS: skewed restart ran with fresh state: $last")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // The lateness cutoff must survive a restart: the commit log carries the
   // watermark, so rows that are late relative to PRE-restart progress stay
   // dropped even though the restarted query has seen no data yet. A
