@@ -396,7 +396,7 @@ object Similarity extends QueryModule {
           .cast("long"))
       .select(col("cell"), col("embedding").as("seed_emb"),
         expr("sqrt(dot_f32(embedding, embedding))").as("snorm"))
-    val sassign = samp.crossJoin(broadcast(seeds))
+    val sassign = widen(samp).crossJoin(broadcast(seeds))
       .select(col("vec_id"),
         r6(expr("dot_f32(embedding, seed_emb)") /
           nullif(expr("sqrt(dot_f32(embedding, embedding))") * col("snorm"),
@@ -417,13 +417,38 @@ object Similarity extends QueryModule {
     cents.withColumn("cnorm", expr(s"sqrt($dotCC)"))
   }
 
+  /** Widen-only repartition, gated on the cell-count regime: the
+    * assignment/training cross joins are COMPUTE-bound (N×cells dots per
+    * input row), so their parallelism is the input's partition count —
+    * and a fixture/probe parquet file is 1-2 splits, serializing the
+    * dominant term on 2 of 32 cores (the ×16 probe at 64 cells spent
+    * ~2.5 s there; plan-audited r13, and raising cells made the keys
+    * SLOWER — the knob inverted). Widen to the cluster's parallelism
+    * when the scan is narrower; never narrow a wide scan (at 100 TB the
+    * scan already has ≫ cores splits and the exchange would only cost).
+    * The exchanged payload is one (id, vector, norm) row per input row —
+    * ~300 B — amortized by the cells-fold of compute it parallelizes;
+    * below ~32 cells the compute is too small to amortize the exchange +
+    * the extra planning pass (interleaved fixture measurement, r13:
+    * sim_ivf_topk 0.8→1.3 s widened at the default 16 cells — the same
+    * adjudication r12 recorded for dedup_embed_cosine), so the default-
+    * geometry fixture path skips it entirely.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    if (IvfCells < 32) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
+  }
+
   /** Every vector of `e` (vec_id, embedding, norm) assigned to its
     * nearest trained centroid — N×cells codegen'd dot_f32f64 products,
     * argmax by hash aggregation (one N-row exchange regardless of the
     * cell count; the r12 session-5 adjudication).
     */
   private def assignCells(e: DataFrame, centsN: DataFrame): DataFrame =
-    argmaxCell(e.crossJoin(broadcast(centsN))
+    argmaxCell(widen(e).crossJoin(broadcast(centsN))
       .select(col("vec_id"),
         r6(expr("dot_f32f64(embedding, c) / nullif(norm * cnorm, CAST(0 AS DOUBLE))")).as("ccos"),
         col("cell")))
