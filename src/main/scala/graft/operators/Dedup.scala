@@ -99,6 +99,17 @@ object Dedup extends QueryModule {
   private val ROWS = K / BANDS
   private val as: Seq[Long] = (1 to K).map(i => (1103515245L * i + 12345L) % P)
   private val bs: Seq[Long] = (1 to K).map(i => (2654435761L * i + 1013904223L) % P)
+  // Shared by the dedup_near_minhash key and the candidate-count probe —
+  // one definition, so the probe measures exactly the key's join.
+  private def minhashSigExprs =
+    (0 until K).map { i =>
+      expr(s"array_min(transform(codes, x -> (${as(i)} * x + ${bs(i)}) % $P))").as(s"sig$i")
+    }
+  private def minhashBandExprs =
+    (0 until BANDS).map { j =>
+      val parts = (0 until ROWS).map(r => s"CAST(sig${j * ROWS + r} AS STRING)")
+      expr(s"named_struct('band', $j, 'key', concat_ws(':', ${parts.mkString(", ")}))")
+    }
 
   // ---- DuckDB oracle fragments (reference formulas) ------------------------
   private val duckTokenCodes: String =
@@ -198,9 +209,11 @@ object Dedup extends QueryModule {
     * slots — too few), so the prefix equi-join loses no true pair. A
     * length filter (den·min ≥ num·max, integer arithmetic) prunes
     * further; exact Jaccard over the full sorted arrays then confirms.
-    * Versus indexing every shingle this cut candidate pairs ~25× at
-    * sf0.1 (1.27 M → ~50 k) — and candidate count, not doc count, is
-    * what explodes at 100 TB.
+    * Versus indexing every shingle this cuts candidate pairs ~14× on
+    * the current fixtures (sf0.1: 1.13 M → 80.6 k, measured r13 by the
+    * candidateCounts probe; the ratio holds at ×4 and ×16 scale, where
+    * both counts grow linearly on sharded corpora) — and candidate
+    * count, not doc count, is what explodes at 100 TB.
     *
     * t = num/den as integers: ⌈t·n⌉ computed as (num·n + den−1) div den.
     * The double 0.8·n is NOT safe here — 0.8 is inexact binary, and an
@@ -215,6 +228,26 @@ object Dedup extends QueryModule {
     * every pair the rounded gate can accept. All arithmetic is forced
     * to 64-bit (nsh·10⁶ overflows INT at nsh ≥ 2148).
     */
+  /** The prefix-filtered candidate equi-join alone — `d` is the cached
+    * (doc_id, codes sorted asc, nsh) table; output = distinct (a_id <
+    * b_id) candidate pairs, pre-confirm. Shared by [[prefixJaccardPairs]]
+    * and the candidate-count scale probe ([[candidateCounts]]): candidate
+    * count, not doc count, is what explodes at 100 TB, so it's the
+    * quantity the probes measure directly.
+    */
+  private def prefixCandStage(d: DataFrame, num: Int, den: Int): DataFrame = {
+    val pref = d.select(col("doc_id"), col("nsh"),
+      explode(slice(col("codes"), lit(1),
+        (col("nsh") - expr(s"(${num}L * nsh + ${den - 1}) div ${den}L") + 1)
+          .cast("int"))).as("sh"))
+    pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.nsh"), col("b.nsh")).cast("long") * den
+             >= greatest(col("a.nsh"), col("b.nsh")).cast("long") * num)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   private[graft] def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     // The two prefix-join sides are identical canonicalized subtrees, so
     // ReuseExchange computes that shuffle once; the confirm-join sides
@@ -242,16 +275,7 @@ object Dedup extends QueryModule {
     val d = docs.filter(size(col("codes")) > 0)
       .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
       .persist()
-    val pref = d.select(col("doc_id"), col("nsh"),
-      explode(slice(col("codes"), lit(1),
-        (col("nsh") - expr(s"(${num}L * nsh + ${den - 1}) div ${den}L") + 1)
-          .cast("int"))).as("sh"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.nsh"), col("b.nsh")).cast("long") * den
-             >= greatest(col("a.nsh"), col("b.nsh")).cast("long") * num)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val cand = prefixCandStage(d, num, den)
     // Confirm on full sorted arrays. At fixture scale both sides
     // auto-broadcast; at 100 TB these become doc_id shuffle joins whose
     // payload is O(candidates) arrays — candidates ≈ output size here.
@@ -278,6 +302,61 @@ object Dedup extends QueryModule {
     prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")),
       799999, 1000000)
 
+  /** Candidate-count probe (r12 verdict task 3): the pre-confirm
+    * candidate-pair counts of the three dedup candidate joins, measured
+    * on an arbitrary corpus — full inverted-index baseline (what the
+    * prefix filter is cut FROM), the prefix-filtered stage exactly as
+    * the keys run it, its df-capped variant, and the minhash band join
+    * (raw banded rows = join work, distinct pairs = confirm work). Not
+    * a driver key; consumed by the CandProbe dev main, results recorded
+    * in BASELINE.md next to the r12 IVF/simhash scale probes. These are
+    * the same N² worries, now measured rather than argued analytically.
+    */
+  private[graft] def candidateCounts(s: SparkSession, dir: String): Map[String, Long] = {
+    val docs = codesDS(s, dir).select(col("doc_id"), col("codes"))
+    val d = docs.filter(size(col("codes")) > 0)
+      .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
+      .persist()
+    val all = d.select(col("doc_id"), explode(col("codes")).as("sh"))
+    val fullIdx = all.as("a").join(all.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().count()
+    val prefix = prefixCandStage(d, 799999, 1000000).count()
+    // df-capped variant, the dedup_ngram_capped recipe: stop-list of
+    // shingles present in > 5% of docs, removed before the prefix join.
+    val sh = docs.select(col("doc_id"), explode(col("codes")).as("sh"))
+    val cap = documents(s, dir)
+      .agg(ceil(count(lit(1)) * 0.05).cast("long").as("cap"))
+    val stopArr = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") > col("cap"))
+      .agg(sort_array(collect_list(col("sh"))).as("stop"))
+    val capped = docs.crossJoin(broadcast(stopArr))
+      .select(col("doc_id"), array_except(col("codes"), col("stop")).as("codes"))
+      .filter(size(col("codes")) > 0)
+      .select(col("doc_id"), col("codes"), size(col("codes")).as("nsh"))
+      .persist()
+    val prefixCapped = prefixCandStage(capped, 4, 5).count()
+    // minhash band join: raw banded matches (the join's output volume)
+    // and distinct candidate pairs (what the exact-Jaccard confirm pays).
+    val sigs = docs.filter(size(col("codes")) > 0)
+      .select(col("doc_id") +: col("codes") +: minhashSigExprs: _*)
+      .persist()
+      .select(col("doc_id"), explode(array(minhashBandExprs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val banded = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .persist()
+    val mhRows = banded.count()
+    val mhPairs = banded.distinct().count()
+    Map("n_docs" -> d.count(), "full_index_pairs" -> fullIdx,
+      "prefix_pairs" -> prefix, "prefix_capped_pairs" -> prefixCapped,
+      "minhash_band_rows" -> mhRows, "minhash_pairs" -> mhPairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle on the content hash; deterministic survivor
     // (min doc_id). Output = duplicate groups only.
@@ -299,13 +378,6 @@ object Dedup extends QueryModule {
     // sets) confirms ≥ 0.9. The arithmetic is literal-identical in the
     // oracle SQL, so results hash-match across engines.
     "dedup_near_minhash" -> ((s, d) => {
-      val sigExprs = (0 until K).map { i =>
-        expr(s"array_min(transform(codes, x -> (${as(i)} * x + ${bs(i)}) % $P))").as(s"sig$i")
-      }
-      val bandExprs = (0 until BANDS).map { j =>
-        val parts = (0 until ROWS).map(r => s"CAST(sig${j * ROWS + r} AS STRING)")
-        expr(s"named_struct('band', $j, 'key', concat_ws(':', ${parts.mkString(", ")}))")
-      }
       val docs = codesDS(s, d)
         .select(col("doc_id"), col("codes"))
         .filter(size(col("codes")) > 0)
@@ -315,9 +387,9 @@ object Dedup extends QueryModule {
       // twice — without compute-once caching both sides recompute
       // every signature (persist, not localCheckpoint: see
       // prefixJaccardPairs note).
-      val sigs = docs.select(col("doc_id") +: col("codes") +: sigExprs: _*)
+      val sigs = docs.select(col("doc_id") +: col("codes") +: minhashSigExprs: _*)
         .persist()
-        .select(col("doc_id"), col("codes"), explode(array(bandExprs: _*)).as("b"))
+        .select(col("doc_id"), col("codes"), explode(array(minhashBandExprs: _*)).as("b"))
         .select(col("doc_id"), col("codes"), col("b.band").as("band"), col("b.key").as("key"))
       // Jaccard is computed on the JOIN OUTPUT (map-side, before any pair
       // dedup) so the dedup shuffle carries (id, id, double) — never the
