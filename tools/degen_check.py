@@ -598,6 +598,30 @@ def write_embeddings_dirty(sfdir: str) -> None:
     pq.write_table(t, f"{sfdir}/embeddings.parquet")
 
 
+def write_embeddings_badprobe(sfdir: str) -> None:
+    """MALFORMED-PROBE corpus (r13, the r12 ADVICE item): vec_id 0 itself
+    is corrupt (one NaN component). embeddings_dirty deliberately keeps
+    the probe clean, so the probe-side halves of the malformed-vector
+    contract were only argued, not gated: index keys (LSH/IVF) must
+    return EMPTY identically in both engines (the probe is not usable,
+    so it has no bucket/cell — the oracle probe CTEs read the filtered
+    set, the r13 duckIvf fix), and brute-force keys must answer NULL
+    cosine for every row (unscorable probe) rather than NaN-win or
+    diverge."""
+    def vec(seed: int):
+        return [((seed * 37 + i * 13) % 19 - 9) / 8.0 for i in range(64)]
+
+    bad_probe = vec(1)
+    bad_probe[17] = float("nan")
+    vecs = [(0, bad_probe, 0)] + [(i, vec(i), i % 5) for i in range(1, 12)]
+    t = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[2] for v in vecs], pa.int32()),
+    })
+    pq.write_table(t, f"{sfdir}/embeddings.parquet")
+
+
 def write_part(sfdir: str) -> None:
     rows = [
         (1, "", "", "", 0, 0.0),                         # all-empty strings
@@ -1065,6 +1089,12 @@ def run_default() -> bool:
     os.makedirs("/tmp/degen_emb_dirty", exist_ok=True)
     write_documents("/tmp/degen_emb_dirty")
     write_embeddings_dirty("/tmp/degen_emb_dirty")
+    # Malformed PROBE (r13): the dirty corpus keeps vec 0 clean by
+    # design; this one corrupts it, gating the probe-side contract
+    # (index keys empty, brute-force keys NULL-scored, both engines).
+    os.makedirs("/tmp/degen_emb_badprobe", exist_ok=True)
+    write_documents("/tmp/degen_emb_badprobe")
+    write_embeddings_badprobe("/tmp/degen_emb_badprobe")
     # Duplicate-saturation through the dedup/text keys (r12): negative
     # result pinned — the 11-doc dup clique surfaces all C(11,2)=55
     # candidate pairs in minhash/jaccard/simhash, cluster_cc converges
@@ -1103,6 +1133,7 @@ def run_default() -> bool:
                          EVENT_KEYS + "," + TIME_EXTRA_KEYS)
     ok_emb = run_family("emb", "/tmp/degen_emb", EMB_KEYS)
     ok_embd = run_family("emb_dirty", "/tmp/degen_emb_dirty", EMB_KEYS)
+    ok_embp = run_family("emb_badprobe", "/tmp/degen_emb_badprobe", EMB_KEYS)
     ok_part = run_family("part", "/tmp/degen_part", PART_KEYS)
     ok_uni = run_family("uni", "/tmp/degen_uni", KEYS)
     ok_lid = run_family("li_dirty", "/tmp/degen_li_dirty",
@@ -1113,8 +1144,8 @@ def run_default() -> bool:
         "dedup_cluster_cc,dedup_ngram_jaccard,dedup_near_minhash,"
         "dedup_simhash,dedup_ngram_capped,dedup_exact")
     return (ok_docs and ok_dup and ok_ev and ok_evd and ok_time and ok_emb
-            and ok_embd and ok_part and ok_uni and ok_lid and ok_long
-            and ok_chain and run_stream())
+            and ok_embd and ok_embp and ok_part and ok_uni and ok_lid
+            and ok_long and ok_chain and run_stream())
 
 
 def main() -> None:
