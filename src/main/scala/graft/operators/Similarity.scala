@@ -350,7 +350,10 @@ object Similarity extends QueryModule {
     * against every centroid) falls back to min(cell) via coalesce,
     * matching the oracle's NULLS-LAST row_number tie-break.
     */
-  private def argmaxCell(assigned: DataFrame): DataFrame =
+  // private[graft]: GenPropertySpec pins the packing arithmetic against
+  // a reference argmax on generated (vec_id, cell, ccos) rows — negative
+  // scores, NULL groups, and tie cases included.
+  private[graft] def argmaxCell(assigned: DataFrame): DataFrame =
     assigned
       .select(col("vec_id"),
         expr(s"shiftleft(floor(ccos * 1000000.0D + 0.5D), $CellBits) + ($CellMask - cell)").as("p"),

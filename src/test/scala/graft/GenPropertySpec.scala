@@ -1027,4 +1027,75 @@ class GenPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // The packed-long argmax (Similarity.argmaxCell) is the scale-correct
+  // "best cell" of the whole IVF family — one HashAggregate instead of a
+  // window — and its correctness rests on packing arithmetic (floor(x·1e6
+  // + 0.5) << 21, mask − cell, NULL-skipping max with a min(cell)
+  // fallback). Pin it against a plain reference argmax on GENERATED
+  // scores: r6-grid values in [-1, 1] (negatives exercise the arithmetic
+  // right-shift), NULLs (zero-vector cosines), duplicate scores (ties
+  // must break to the LOWEST cell), and all-NULL groups (fallback path).
+  test("packed-long argmax equals the (ccos desc, cell asc) reference on generated scores") {
+    val rowsGen: Gen[List[(Long, Long, Option[Double])]] =
+      Gen.nonEmptyListOf(for {
+        vid <- Gen.chooseNum(0L, 6L)
+        cell <- Gen.chooseNum(0L, 9L)
+        cc <- Gen.option(Gen.chooseNum(-1000000, 1000000).map(_ / 1000000.0))
+      } yield (vid, cell, cc))
+    forAll(rowsGen) { rows0 =>
+      import spark.implicits._
+      // one row per (vid, cell): the real assignment never scores the
+      // same (vector, cell) twice
+      val rows = rows0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = rows.toDF("vec_id", "cell", "ccos")
+      val got = operators.Similarity.argmaxCell(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (vid, rs) =>
+        val scored = rs.collect { case (_, c, Some(x)) => (c, x) }
+        vid -> (if (scored.isEmpty) rs.map(_._2).min
+                else scored.minBy { case (c, x) => (-x, c) }._1)
+      }
+      assert(got == want,
+        s"argmax mismatch: ${got.toSeq.sorted.diff(want.toSeq.sorted).take(5)} on $rows")
+    }
+  }
+
+  // The trained quantizer end-to-end on ARBITRARY corpora (the oracle
+  // gate only sees fixtures): write a generated embeddings table —
+  // duplicate vectors, a zero vector, clustered + independent rows — and
+  // assert the assignment is TOTAL (every usable vector exactly one
+  // cell), RANGE-VALID, and DETERMINISTIC across invocations.
+  test("trained quantizer is total, valid, and deterministic on generated corpora") {
+    val corpusGen: Gen[List[Array[Float]]] = for {
+      n <- Gen.chooseNum(3, 16)
+      vs <- Gen.listOfN(n, Gen.listOfN(64,
+        Gen.chooseNum(-800, 800).map(_ / 64.0f)))
+      withZero <- Gen.oneOf(true, false)
+    } yield {
+      val base = vs.map(_.toArray)
+      val dups = base.take(2) // planted duplicates
+      (if (withZero) List(Array.fill(64)(0.0f)) else Nil) ++ base ++ dups
+    }
+    forAll(corpusGen) { vecs =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_quant_prop").toString
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 3) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val a1 = operators.Similarity.cellAssignment(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val a2 = operators.Similarity.cellAssignment(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a1 == a2, "quantizer not deterministic across invocations")
+      assert(a1.keySet == vecs.indices.map(_.toLong).toSet,
+        s"assignment not total: ${a1.keySet} vs ${vecs.indices}")
+      assert(a1.values.forall(c => c >= 0 && c < operators.Similarity.IvfCells))
+      // planted exact duplicates land in the same cell (identical
+      // cosine row against every centroid ⇒ identical argmax)
+      val base0 = a1(if (vecs.head.forall(_ == 0.0f)) 1L else 0L)
+      val dupOfBase0 = a1(vecs.length.toLong - 2)
+      assert(base0 == dupOfBase0, "exact duplicate vectors split across cells")
+    }
+  }
 }
