@@ -47,6 +47,18 @@ object Similarity extends QueryModule {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
   }
 
+  /** Double-input twin of mean_vec, for the trainer's spherical
+    * refinement update (mean of embedding[i]/norm — the division must
+    * happen in DOUBLE to match the oracle's avg over exact doubles; a
+    * float-typed intermediate would round each quotient to f32 first).
+    */
+  private def registerMeanVecD(s: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("mean_vecd")
+    if (!s.sessionState.functionRegistry.functionExists(id))
+      s.udf.register("mean_vecd", udaf(VectorAvgD,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()))
+  }
+
   /** Left-to-right double-precision dot product a·b (both array<float>). */
   private def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -134,6 +146,16 @@ object Similarity extends QueryModule {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** duckCosine with the zero-norm denominator guarded: oracle contexts
+    * that score USABLE vectors (where NaN components are impossible but
+    * a zero vector is admissible) get NULL-by-construction on 0/0
+    * instead of relying on DuckDB 1.0's NULL division dialect (DuckDB
+    * ≥ 1.1 defaults to IEEE 0/0 = NaN, which sorts FIRST desc — r13
+    * ADVICE). Matches the Spark side's nullif(denominator, 0).
+    */
+  private def duckCosineN(a: String, b: String): String =
+    s"${duckDot(a, b)} / nullif(sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}), 0)"
+
   /** Oracle twin of the guarded r6(cosine): NULL unless both vectors are
     * wellFormed (duckDot's list_sum SKIPS the NULL products a malformed
     * list produces, so an unguarded oracle would emit a plausible
@@ -144,24 +166,40 @@ object Similarity extends QueryModule {
   private def duckCosineSafe(a: String, b: String): String =
     s"(CASE WHEN ${duckWellFormed(a)} AND ${duckWellFormed(b)} AND NOT isnan(${duckCosine(a, b)}) THEN round(${duckCosine(a, b)}, 6) END)"
 
-  /** Oracle twin of [[trainCentroids]] + nearest-centroid assignment —
+  /** Oracle twin of [[trainCentroidsN]] + nearest-centroid assignment —
     * the shared CTE chain (no leading WITH) every trained-quantizer
     * oracle starts from. Stage for stage: usable corpus → sampling hash
-    * → hash-sampled training subset → the IvfCells lowest-hash sampled
-    * vectors as seeds (cell id = rank in that order) → each sampled
-    * vector assigned to its nearest seed (r6-rounded cosine, cell-asc
-    * tie-break — the row_number twin of Spark's packed argmax; both
-    * break an all-NULL group to the minimum cell because DuckDB orders
-    * NULLS LAST under DESC) → per-cell per-dim mean = trained centroid
-    * (+ its norm) → every usable vector assigned to its nearest trained
-    * centroid (`cellof`).
+    * → hash-sampled training subset (+ per-sample norm) → the IvfCells
+    * lowest-hash sampled vectors as seeds (cell id = rank in that
+    * order) → each sampled vector assigned to its nearest seed
+    * (r6-rounded cosine, cell-asc tie-break — the row_number twin of
+    * Spark's packed argmax; both break an all-NULL group to the minimum
+    * cell because DuckDB orders NULLS LAST under DESC) → per-cell
+    * per-dim mean = trained centroid (+ its norm) → [[IvfIters]] − 1
+    * further Lloyd steps, each reassigning the sample to the previous
+    * iteration's centroids and taking the per-cell NORMALIZED mean
+    * (zero-norm members excluded — see the IvfIters scaladoc) → every
+    * usable vector assigned to its nearest final centroid (`cellof`).
+    *
+    * Every cosine denominator is `nullif(..., 0)` so a zero-norm seed,
+    * member, or trained centroid yields NULL BY CONSTRUCTION on any
+    * DuckDB version (r13 ADVICE: DuckDB 1.0 returns NULL for float
+    * division by zero, but ≥ 1.1 defaults ieee_floating_point_ops=true
+    * where 0/0 is NaN — which sorts FIRST under ORDER BY ccos DESC and
+    * would let a zero-norm seed or centroid silently capture every row
+    * in the oracle only). With the guard, undefined scores are NULL in
+    * both engines and the NULLS-LAST tie-break reasoning above holds
+    * regardless of DuckDB's division dialect.
     */
-  private def duckTrained: String = s"""
+  private def duckTrained: String = {
+    val base = s"""
       u AS (
         SELECT vec_id, label, embedding FROM embeddings
         WHERE ${duckUsableVec("embedding")}),
       samp AS (
-        SELECT vec_id, embedding FROM u
+        SELECT vec_id, embedding,
+               sqrt(${duckDot("embedding", "embedding")}) AS snorm
+        FROM u
         WHERE $duckHash % $IvfSampleMod = 0),
       seeds AS (
         SELECT embedding AS seed_emb, CAST(rn - 1 AS BIGINT) AS cell
@@ -169,43 +207,75 @@ object Similarity extends QueryModule {
                      row_number() OVER (ORDER BY $duckHash, vec_id) AS rn
               FROM samp)
         WHERE rn <= $IvfCells),
-      sassign AS (
+      sassign1 AS (
         SELECT s.vec_id, seeds.cell,
                round(${duckDot("s.embedding", "seed_emb")}
-                 / (sqrt(${duckDot("s.embedding", "s.embedding")})
-                    * sqrt(${duckDot("seed_emb", "seed_emb")})), 6) AS ccos
+                 / nullif(s.snorm
+                    * sqrt(${duckDot("seed_emb", "seed_emb")}), 0), 6) AS ccos
         FROM samp s, seeds),
-      sbest AS (
+      sbest1 AS (
         SELECT vec_id, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY ccos DESC, cell) AS rn
-          FROM sassign) WHERE rn = 1),
-      cent AS (
+          FROM sassign1) WHERE rn = 1),
+      cent1 AS (
         SELECT cell, list(m ORDER BY i) AS c FROM (
-          SELECT sbest.cell AS cell, i,
+          SELECT sbest1.cell AS cell, i,
                  avg(CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)) AS m
-          FROM samp s JOIN sbest ON s.vec_id = sbest.vec_id, range(1, 65) t(i)
+          FROM samp s JOIN sbest1 ON s.vec_id = sbest1.vec_id, range(1, 65) t(i)
           GROUP BY cell, i)
         GROUP BY cell),
-      centn AS (
+      centn1 AS (
         SELECT cell, c,
                sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i]))) AS cnorm
-        FROM cent),
+        FROM cent1)"""
+    // Refinement iterations (k ≥ 2): reassign the sample to the previous
+    // iteration's centroids (the same arithmetic as `assigned` below,
+    // restricted to samp), then the spherical update — per-cell per-dim
+    // mean of embedding[i]/norm over norm > 0 members (IvfIters scaladoc).
+    val refine = (2 to IvfIters).map { k => s""",
+      sassign$k AS (
+        SELECT s.vec_id, cn.cell,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> CAST(s.embedding[i] AS DOUBLE) * cn.c[i]))
+                 / nullif(s.snorm * cn.cnorm, 0), 6) AS ccos
+        FROM samp s, centn${k - 1} cn),
+      sbest$k AS (
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cell) AS rn
+          FROM sassign$k) WHERE rn = 1),
+      cent$k AS (
+        SELECT cell, list(m ORDER BY i) AS c FROM (
+          SELECT b.cell AS cell, i,
+                 avg(CAST(s.embedding[CAST(i AS INT)] AS DOUBLE) / s.snorm) AS m
+          FROM samp s JOIN sbest$k b ON s.vec_id = b.vec_id, range(1, 65) t(i)
+          WHERE s.snorm > 0
+          GROUP BY cell, i)
+        GROUP BY cell),
+      centn$k AS (
+        SELECT cell, c,
+               sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i]))) AS cnorm
+        FROM cent$k)"""
+    }.mkString
+    s"""$base$refine,
+      centf AS (SELECT * FROM centn$IvfIters),
       norms AS (
         SELECT vec_id, label, embedding,
                sqrt(${duckDot("embedding", "embedding")}) AS norm
         FROM u),
       assigned AS (
-        SELECT n.vec_id, centn.cell,
+        SELECT n.vec_id, centf.cell,
                round(list_sum(list_transform(range(1, 65),
                        i -> CAST(n.embedding[i] AS DOUBLE) * c[i]))
-                     / (n.norm * centn.cnorm), 6) AS ccos
-        FROM norms n, centn),
+                     / nullif(n.norm * centf.cnorm, 0), 6) AS ccos
+        FROM norms n, centf),
       cellof AS (
         SELECT vec_id, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY ccos DESC, cell) AS rn
           FROM assigned) WHERE rn = 1)"""
+  }
 
   /** Oracle twin of `ivfTopk` — one template, parameterized on nprobe.
     * The probe CTE reads from the usable-filtered `u`, matching the
@@ -217,14 +287,14 @@ object Similarity extends QueryModule {
       WITH $duckTrained,
       probe AS (SELECT embedding AS p FROM u WHERE vec_id = 0),
       best AS (
-        SELECT cell FROM centn, probe
+        SELECT cell FROM centf, probe
         ORDER BY round(
           list_sum(list_transform(range(1, 65), i -> CAST(p[i] AS DOUBLE) * c[i]))
-          / (sqrt(${duckDot("p", "p")}) * cnorm), 6) DESC,
+          / nullif(sqrt(${duckDot("p", "p")}) * cnorm, 0), 6) DESC,
           cell
         LIMIT $nprobe)
       SELECT n.vec_id, n.label,
-             round(${duckCosine("n.embedding", "p")}, 6) AS cos
+             round(${duckCosineN("n.embedding", "p")}, 6) AS cos
       FROM norms n
         JOIN cellof ON n.vec_id = cellof.vec_id
         JOIN best ON cellof.cell = best.cell, probe
@@ -299,7 +369,7 @@ object Similarity extends QueryModule {
 
   /** Coarse-quantizer cell count (IVF "nlist") — THE scale knob of the
     * cell-blocked embedding family (sim_ivf_*, dedup_embed_cosine).
-    * Seed count for [[trainCentroids]]: at most IvfCells centroids are
+    * Seed count for [[trainCentroidsN]]: at most IvfCells centroids are
     * trained (cells no sampled vector chose don't materialize).
     *
     * 100 TB sizing rule (the r11 verdict's one recorded scale caveat,
@@ -333,6 +403,32 @@ object Similarity extends QueryModule {
     */
   private[graft] val IvfSampleMod: Int =
     T.envInt("SPARK_GRAFT_IVF_SAMPLE_MOD", 2, min = 1, max = 1 << 30)
+
+  /** Lloyd iteration count for [[trainCentroidsN]] (r13 verdict task 4).
+    * Default 1 = exactly the round-13 trainer (seed assignment + one
+    * mean update — driver-visible behavior unchanged); at real scale a
+    * single step leaves centroids near their seeds, and convergence
+    * wants a few more passes over the TRAINING SAMPLE (never the
+    * corpus — each extra iteration costs sample×cells dots, knob-bounded).
+    * Refinement iterations (k ≥ 2) use the spherical k-means update —
+    * per-cell mean of NORMALIZED members (Dhillon & Modha, "Concept
+    * decompositions for large sparse text data using clustering", 2001)
+    * — because that is the update under which cosine-assignment Lloyd is
+    * provably monotone: the assignment step maximizes each sample's
+    * (rounded) cosine by construction, and the normalized-mean direction
+    * maximizes Σ cos(x, c) over its cell, so the within-cell spherical
+    * SSE Σ(1 − cos) never increases across iterations (property-pinned
+    * in GenPropertySpec on generated corpora, to r6-grid tolerance).
+    * The iteration-1 update keeps the r13 RAW mean for frozen-surface
+    * compatibility; zero-norm members are excluded from refinement means
+    * in BOTH engines (x/0 diverges cross-engine: Spark Inf/NaN vs DuckDB
+    * NULL-skipped list products). The oracle CTE chain ([[duckTrained]])
+    * grows one sassign/sbest/cent/centn block per iteration from the
+    * same knob, so the cross-engine gate holds at any setting (validated
+    * at iters ∈ {1, 2, 3}, BASELINE.md r14).
+    */
+  private[graft] val IvfIters: Int =
+    T.envInt("SPARK_GRAFT_IVF_ITERS", 1, min = 1, max = 8)
 
   // Packed-argmax geometry (see the dedup_embed_cosine scaladoc for the
   // derivation): cell ids take 21 bits, the r6-rounded cosine is an
@@ -380,35 +476,70 @@ object Similarity extends QueryModule {
     *     (r6-rounded cosine, cell-asc tie-break via the packed argmax),
     *     and the per-cell mean (the mean_vec UDAF) is the trained
     *     centroid. Cells no sampled vector chose simply don't exist —
-    *     consistent in both engines.
+    *     consistent in both engines;
+    *  4. [[IvfIters]] − 1 refinement steps (spherical k-means — see the
+    *     IvfIters scaladoc): reassign the sample to the previous
+    *     centroids (codegen'd dot_f32f64, packed argmax), update each
+    *     cell to the mean of its NORMALIZED members (mean_vecd over
+    *     embedding[i]/norm, zero-norm members excluded in both engines).
     *
     * The seed-rank window runs over ≤ IvfCells rows (post-LIMIT, knob-
     * bounded, never data-scaled); everything data-sized is hash-agg or
     * broadcast-join shaped. Input `e` must be usable-filtered (corrupt
     * rows must not poison centroids — emb_dirty contract).
+    *
+    * The sample is persist()ed — it is consumed 2·iters + 1 times (seed
+    * limit, per-iteration assignment and membership joins), and without
+    * compute-once caching the usable-filter + hash scan of the corpus
+    * re-runs each time (r13 ADVICE). The returned (cell, c, cnorm)
+    * table is EAGERLY materialized via localCheckpoint (≤ IvfCells
+    * rows — knob-bounded, never a driver collect) so the sample cache
+    * can be released before this returns and consumers (probe routing,
+    * full-corpus assignment, the staged-index write) never re-run the
+    * training chain.
     */
-  private def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def trainCentroidsN(s: SparkSession, e: DataFrame,
+                                     iters: Int = IvfIters): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     registerMeanVec(s)
+    registerMeanVecD(s)
     val samp = e.select(col("vec_id"), col("embedding"),
-        expr(sparkHash).as("hv"))
+        expr(sparkHash).as("hv"),
+        expr("sqrt(dot_f32(embedding, embedding))").as("norm"))
       .filter(col("hv") % IvfSampleMod === 0)
-    val seeds = samp.orderBy(col("hv"), col("vec_id")).limit(IvfCells)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("hv"), col("vec_id"))) - 1)
-          .cast("long"))
-      .select(col("cell"), col("embedding").as("seed_emb"),
-        expr("sqrt(dot_f32(embedding, embedding))").as("snorm"))
-    val sassign = widen(samp).crossJoin(broadcast(seeds))
-      .select(col("vec_id"),
-        r6(expr("dot_f32(embedding, seed_emb)") /
-          nullif(expr("sqrt(dot_f32(embedding, embedding))") * col("snorm"),
-            lit(0.0))).as("ccos"),
-        col("cell"))
-    samp.select(col("vec_id"), col("embedding"))
-      .join(argmaxCell(sassign), Seq("vec_id"))
-      .groupBy(col("cell"))
-      .agg(expr("mean_vec(embedding)").as("c"))
+      .persist()
+    try {
+      val seeds = samp.orderBy(col("hv"), col("vec_id")).limit(IvfCells)
+        .withColumn("cell",
+          (row_number().over(Window.orderBy(col("hv"), col("vec_id"))) - 1)
+            .cast("long"))
+        .select(col("cell"), col("embedding").as("seed_emb"),
+          expr("sqrt(dot_f32(embedding, embedding))").as("snorm"))
+      val sassign = widen(samp).crossJoin(broadcast(seeds))
+        .select(col("vec_id"),
+          r6(expr("dot_f32(embedding, seed_emb)") /
+            nullif(col("norm") * col("snorm"), lit(0.0))).as("ccos"),
+          col("cell"))
+      var cents = samp.select(col("vec_id"), col("embedding"))
+        .join(argmaxCell(sassign), Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(expr("mean_vec(embedding)").as("c"))
+      for (_ <- 2 to iters) {
+        val cn = centroidsWithNorm(cents)
+        val sa = widen(samp).crossJoin(broadcast(cn))
+          .select(col("vec_id"),
+            r6(expr("dot_f32f64(embedding, c)") /
+              nullif(col("norm") * col("cnorm"), lit(0.0))).as("ccos"),
+            col("cell"))
+        cents = samp.filter(col("norm") > 0)
+          .join(argmaxCell(sa), Seq("vec_id"))
+          .groupBy(col("cell"))
+          .agg(expr(
+            "mean_vecd(transform(embedding, x -> CAST(x AS DOUBLE) / norm))")
+            .as("c"))
+      }
+      centroidsWithNorm(cents).localCheckpoint()
+    } finally samp.unpersist()
   }
 
   /** Trained centroids + their norms (norm once per centroid on the
@@ -458,16 +589,98 @@ object Similarity extends QueryModule {
 
   /** Full-corpus cell membership under the trained quantizer — also the
     * spec-side hook (PipelineOpsSpec recomputes the exact in-cell top-5
-    * from this assignment).
+    * from this assignment). Computes directly (no staged index): specs
+    * and property tests use this as the independent recomputation the
+    * staged path is checked against.
     */
   private[graft] def cellAssignment(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = embeddings(s, d).filter(expr(usableVec("embedding")))
-    val centsN = centroidsWithNorm(trainCentroids(s, e))
     assignCells(
       e.select(col("vec_id"), col("embedding"),
         expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
-      centsN)
+      trainCentroidsN(s, e))
+  }
+
+  // Read-back schemas for the staged index (explicit, not inferred: an
+  // EMPTY corpus stages zero centroid/assignment rows — possibly zero
+  // part files — where bare inference throws instead of answering the
+  // correct empty result; the eventsByDay precedent).
+  private val centsReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("cnorm",
+      org.apache.spark.sql.types.DoubleType)))
+  private val assignReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Content fingerprint of the embeddings fixture under `d` (row count
+    * + order-independent xxhash64 XOR over full rows), cached per (dir,
+    * on-disk file signature) — the staged-index staleness guard, the
+    * same recipe as Streaming.eventsFingerprint: a regenerated fixture
+    * must re-stage instead of silently serving a stale index.
+    */
+  private val embFpCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def embFingerprint(s: SparkSession, d: String): String = {
+    val key =
+      s"$d|${Streaming.fileSig(java.nio.file.Paths.get(s"$d/embeddings.parquet"))}"
+    embFpCache.getOrElseUpdate(key, {
+      val r = embeddings(s, d).agg(count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id, embedding, label))")).head()
+      s"rows=${r.getLong(0)};xor=${r.get(1)}"
+    })
+  }
+
+  /** The trained IVF index — (centroids, full-corpus cell assignment) —
+    * staged ONCE per (fixture content, knob fingerprint) behind a
+    * content-marker guard and read back by every consumer key (r13
+    * verdict task 2). A real deployment builds an ANN index once and
+    * probes it many times; the rebuild-per-query shape the keys had
+    * before this was a harness artifact that charged every probe the
+    * full train + assign cost. The knob fingerprint (cells, sample mod,
+    * iters) is part of BOTH the marker content and the directory name,
+    * so knob sweeps coexist without thrashing one staging dir, and the
+    * marker is written last so an interrupted staging never passes the
+    * guard. One-time build cost is recorded in BASELINE.md (r14); the
+    * oracle is unchanged — [[duckTrained]] re-derives identical
+    * centroids from the corpus at any knob setting.
+    */
+  private def stagedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s)
+    val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val knobs = s"cells=$IvfCells;mod=$IvfSampleMod;iters=$IvfIters"
+    val path =
+      s"/tmp/graft_ivf_${tag}_${(knobs.hashCode & 0x7fffffff).toHexString}"
+    val marker = java.nio.file.Paths.get(s"$path/_STAGED")
+    val fp = s"${embFingerprint(s, d)};$knobs"
+    val ok = scala.util.Try(java.nio.file.Files.readString(marker))
+      .toOption.contains(fp)
+    if (!ok) {
+      Streaming.rmr(java.nio.file.Paths.get(path))
+      new java.io.File(path).mkdirs()
+      val e = embeddings(s, d).filter(expr(usableVec("embedding")))
+      trainCentroidsN(s, e)
+        .write.mode("overwrite").parquet(s"$path/cents")
+      // Assignment against the PERSISTED centroids (read back, not the
+      // in-memory checkpoint) so the staged index is self-consistent
+      // by construction even across process restarts mid-staging.
+      val cents = s.read.schema(centsReadSchema).parquet(s"$path/cents")
+      assignCells(
+        e.select(col("vec_id"), col("embedding"),
+          expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
+        cents)
+        .write.mode("overwrite").parquet(s"$path/assign")
+      java.nio.file.Files.writeString(marker, fp)
+    }
+    (s.read.schema(centsReadSchema).parquet(s"$path/cents"),
+      s.read.schema(assignReadSchema).parquet(s"$path/assign"))
   }
 
   /** IVF search: route the probe to its `nprobe` nearest coarse cells
@@ -478,17 +691,14 @@ object Similarity extends QueryModule {
     */
   private def ivfTopk(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    registerMeanVec(s)
     // Only usable vectors train cells or live in them (malformed-vector
     // contract above): one NaN component would NaN a centroid dimension
     // and a dimension mismatch is a loud UDAF require — both are
-    // drop-not-kill at this surface.
+    // drop-not-kill at this surface. The index (centroids + membership)
+    // comes from the staged build — probes pay routing + in-cell
+    // scoring only, never the train/assign cost (stagedIvf scaladoc).
+    val (centsN, cellOf) = stagedIvf(s, d)
     val e = embeddings(s, d).filter(expr(usableVec("embedding")))
-    // Persisted: the tiny (≤ IvfCells rows) centroid table is broadcast
-    // into BOTH the probe-routing and the full-corpus assignment below;
-    // without compute-once caching the whole sample→seed→Lloyd training
-    // chain runs twice.
-    val centsN = centroidsWithNorm(trainCentroids(s, e)).persist()
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
     val bestCells = centsN.crossJoin(broadcast(probe))
@@ -496,10 +706,6 @@ object Similarity extends QueryModule {
         r6(expr("dot_f32f64(probe_emb, c) / nullif(sqrt(dot_f32(probe_emb, probe_emb)) * cnorm, CAST(0 AS DOUBLE))")).as("ccos"))
       .orderBy(desc("ccos"), col("cell"))
       .limit(nprobe)
-    val cellOf = assignCells(
-      e.select(col("vec_id"), col("embedding"),
-        expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
-      centsN)
     // Prune membership to the probed cells FIRST (broadcast nprobe-row
     // join), so only ~N·nprobe/cells candidate ids reach the scoring
     // join.
@@ -572,7 +778,8 @@ object Similarity extends QueryModule {
     }),
 
     // IVF-style ANN: coarse cells trained label-free from a hash
-    // sample (trainCentroids — deterministic k-means-style Lloyd step);
+    // sample (trainCentroidsN — deterministic k-means-style Lloyd steps,
+    // staged once per (fixture, knobs) by stagedIvf);
     // the probe routes to its nearest centroid (cosine, r6-rounded,
     // cell tie-break), then exact top-5 WITHIN that cell's members
     // only. At scale the cell id is the partition key: a probe touches
@@ -606,7 +813,6 @@ object Similarity extends QueryModule {
     // neighbor id).
     "dedup_embed_cosine" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      registerMeanVec(s)
       // Norms once per vector (map-side), not three dot products per pair.
       // (A pre-assignment repartition to undo the single-row-group
       // 2026-08-13 fixture layout was measured and rejected here too:
@@ -621,10 +827,12 @@ object Similarity extends QueryModule {
         .filter(expr(usableVec("embedding")))
         .select(col("vec_id"), col("label"), col("embedding"),
           expr(s"sqrt(${ndot("embedding", "embedding")})").as("norm"))
-      // Coarse quantizer: the shared label-independent trainCentroids /
-      // assignCells recipe (identical to sim_ivf_topk, so the oracle
-      // mirrors one SQL shape; IvfCells is the scale knob — see its
-      // scaladoc for the √N rule). Assignment COMPUTE is the
+      // Coarse quantizer: the STAGED index from the shared
+      // label-independent trainCentroidsN / assignCells recipe
+      // (identical to sim_ivf_topk, so the oracle mirrors one SQL
+      // shape; IvfCells is the scale knob — see its scaladoc for the
+      // √N rule; build cost is paid once per (fixture, knobs) in
+      // stagedIvf, not per query). Assignment COMPUTE is the
       // cells-scaling term (×16 probe corpus, r12 session 5): N×cells
       // cosines spelled as interpreted HOF folds grew this key 12.0 s →
       // 25.0 s when cells went 16 → 64 — assignCells keeps the dot
@@ -643,15 +851,12 @@ object Similarity extends QueryModule {
       // the assert_true below fails LOUDLY if a corpus ever carries ids
       // outside [0, 2^41) — corrupt structural metadata is the loud
       // tier of the dirty-data contract, unlike droppable vector rows).
-      val centsN = centroidsWithNorm(
-        trainCentroids(s, e.select(col("vec_id"), col("embedding"))))
+      val (_, best) = stagedIvf(s, d)
       val NnBits = 41
       val nnMask = (1L << NnBits) - 1
       val eChecked = e.filter(expr(
         s"assert_true(vec_id >= 0 AND vec_id <= $nnMask, " +
           "'vec_id outside the 41-bit packed-argmax id width') IS NULL"))
-      val best = assignCells(
-        eChecked.select(col("vec_id"), col("embedding"), col("norm")), centsN)
       // Cached: both arms of the self-join below consume cellOf, and the
       // two aliased subtrees are NOT exchange-reused — without
       // compute-once caching the whole centroid-train + assign + rank
@@ -795,7 +1000,7 @@ object Similarity extends QueryModule {
         FROM embeddings WHERE ${duckUsableVec("embedding")}),
       probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
       SELECT vec_id, label, bucket,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
+             round(${duckCosineN("embedding", "p")}, 6) AS cos
       FROM b, probe
       WHERE bucket = pb AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 5
@@ -807,7 +1012,7 @@ object Similarity extends QueryModule {
         FROM embeddings WHERE ${duckUsableVec("embedding")}),
       probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
       SELECT vec_id, label, bucket,
-             round(${duckCosine("embedding", "p")}, 6) AS cos
+             round(${duckCosineN("embedding", "p")}, 6) AS cos
       FROM b, probe
       WHERE bit_count(xor(bucket, pb)) <= 1 AND vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 10
@@ -841,7 +1046,7 @@ object Similarity extends QueryModule {
         -- emit +0.0 at scaled 0, and ORDERING is unaffected because
         -- both engines compare -0.0 = 0.0 as equal.
         SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS nn_id,
-               round(${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) + 0.0 AS cos
+               round(${duckDot("a.embedding", "b.embedding")} / nullif(a.norm * b.norm, 0), 6) + 0.0 AS cos
         FROM cellofn a JOIN cellofn b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
       ranked AS (
@@ -923,6 +1128,42 @@ object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[D
   // dimensionality, and a dimension mismatch mid-group fails loudly.
   def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
   def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+    val sums = if (b._2 == 0) new Array[Double](a.length) else b._1
+    require(sums.length == a.length,
+      s"vector dimension mismatch: ${sums.length} vs ${a.length}")
+    var i = 0
+    while (i < a.length) { sums(i) += a(i); i += 1 }
+    (sums, b._2 + 1)
+  }
+  def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    if (x._2 == 0) y
+    else if (y._2 == 0) x
+    else {
+      require(x._1.length == y._1.length,
+        s"vector dimension mismatch: ${x._1.length} vs ${y._1.length}")
+      var i = 0
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+  }
+  def finish(r: (Array[Double], Long)): Array[Double] =
+    if (r._2 == 0) Array.empty else r._1.map(_ / r._2)
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}
+
+/** Mean of DOUBLE vectors — [[VectorAvg]]'s input widened to
+  * Array[Double] for the trainer's spherical refinement update (the
+  * normalized components embedding[i]/norm are doubles; summing them as
+  * f32 would diverge from the oracle's double avg). Same (sums, count)
+  * partial-merge state, same loud dimension-mismatch contract.
+  */
+object VectorAvgD extends Aggregator[Array[Double], (Array[Double], Long), Array[Double]] {
+  def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+  def reduce(b: (Array[Double], Long), a: Array[Double]): (Array[Double], Long) = {
     val sums = if (b._2 == 0) new Array[Double](a.length) else b._1
     require(sums.length == a.length,
       s"vector dimension mismatch: ${sums.length} vs ${a.length}")

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Streaming extends QueryModule {
   import T._
 
-  private def rmr(p: java.nio.file.Path): Unit = {
+  private[graft] def rmr(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -135,7 +135,7 @@ object Streaming extends QueryModule {
     * so a fixture regenerated MID-JVM (long bench session) still misses
     * the cache and is re-fingerprinted (r8 ADVICE).
     */
-  private def fileSig(p: java.nio.file.Path): String = {
+  private[graft] def fileSig(p: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.exists(p)) "absent"
     else {
