@@ -173,9 +173,18 @@ object Bench {
       System.err.println(
         "[bench] WARNING: bench_baseline.json matches this sf but parsed to " +
           "0 per-key envelopes — early-accept disabled; check the pin format")
+    // Synthetic-regression rehearsal knob (r13 verdict task 1 "done"
+    // criterion): a deliberate per-key slowdown that inflates ONLY the
+    // named key — controls stay quiet, so tools/bench_compare.py must
+    // classify the flag OVER-BAND, not CONTENDED. Never set outside the
+    // rehearsal (BASELINE.md documents the experiment).
+    val sleepKey = sys.env.get("SPARK_GRAFT_BENCH_SLEEP_KEY")
+    val sleepMs =
+      graft.T.envInt("SPARK_GRAFT_BENCH_SLEEP_MS", 2000, min = 0, max = 60000)
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       run(name)
+      if (sleepKey.contains(name)) Thread.sleep(sleepMs)
       (System.nanoTime() - t0) / 1e9
     }
     val samples = bench.map { case (name, _) =>
@@ -204,6 +213,14 @@ object Bench {
         while (buf.length < 3 && !acc.exists(a => buf.min <= a)) buf += once()
         name -> buf.toSeq
       } catch { case _: Throwable => name -> Seq(-1.0) }
+      finally
+        // Release this key's persisted DataFrames before the next key
+        // (r13 ADVICE: MEMORY_AND_DISK blocks from the dedup/quantile
+        // persists otherwise accumulate for the whole 138-key sweep).
+        // AFTER the key's samples, not between them — repeat samples of
+        // one key keep sharing their cache exactly as the pinned bands
+        // were measured.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // Deferred re-measure pass (r10 verdict task 1): a sustained
     // contention burst defeats min-of-N because the N samples are
@@ -251,6 +268,7 @@ object Bench {
     samples.foreach { case (k, ss) =>
       if (overFlag(k, ss)) {
         val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
         if (extra >= 0) rerun1(k) = extra
       }
     }
@@ -267,13 +285,31 @@ object Bench {
     // sustained load or a real regression; adjudicate with an isolated
     // 3-JVM re-run (tools/bench_baseline.py 3 key1,...)".
     val stillOver = samples.filter { case (k, ss) => overFlag(k, ss) }
+    // Machine-state evidence taken IN the delayed re-measure window
+    // (r13 verdict task 1): when any key is still over band, also time
+    // the pinned never-changing CONTROL keys right next to the re-runs.
+    // tools/bench_compare.py divides these by the controls' pinned
+    // medians — controls inflated alongside the flagged key read as
+    // ambient contention (CONTENDED), controls quiet leave the flag a
+    // genuine regression candidate. Controls must stay untouched
+    // round-over-round; deliberately changing one means re-pinning and
+    // updating the list here AND in bench_compare.py.
+    val controlKeys = Seq("agg_daily_counts", "fn_math")
+    val rerun2Controls = scala.collection.mutable.Map.empty[String, Double]
     if (stillOver.nonEmpty) {
       val delayMs =
         graft.T.envInt("SPARK_GRAFT_RERUN2_DELAY_SEC", 60, min = 0, max = 3600) * 1000L
       Thread.sleep(delayMs)
       stillOver.foreach { case (k, _) =>
         val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
         if (extra >= 0) rerun2(k) = extra
+      }
+      // A control that is itself a flagged key can't vouch for the
+      // window (bench_compare also excludes it); time the others anyway.
+      controlKeys.filter(SparkEntry.queries.contains).foreach { c =>
+        val t = try timeOnce(c) catch { case _: Throwable => -1.0 }
+        if (t >= 0) rerun2Controls(c) = t
       }
     }
     val results = samples.map { case (k, ss) => k -> bestOf(k, ss) }.toMap
@@ -339,8 +375,15 @@ object Bench {
     // preference falls back to disk SILENTLY — on the driver box this
     // field is the only way to know which regime a bench number is from).
     val ckptMode = if (ckptShm) "shm" else "tmp"
+    // Control-key timings from the delayed window, when taken — the
+    // drift-vs-regression evidence bench_compare.py reads.
+    val ctlJson =
+      if (rerun2Controls.isEmpty) ""
+      else rerun2Controls.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": ${f(v)}""" }
+        .mkString("  \"rerun2_controls\": {", ", ", "},\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
+      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n$ctlJson  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun1.size},"rerun2":${rerun2.size}}""")
     spark.stop()
   }

@@ -706,16 +706,30 @@ class StreamingSpec extends AnyFunSuite {
       val outcome = try { run(new V2); None } catch {
         case e: Throwable =>
           // unwrap StreamingQueryException to the root cause chain
-          Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .map(x => x.getClass.getName + ": " + String.valueOf(x.getMessage))
-            .mkString(" <- "))
+          Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toList)
       }
       outcome match {
-        case Some(msg) =>
+        case Some(chain) =>
+          val diag = chain
+            .map(x => x.getClass.getName + ": " + String.valueOf(x.getMessage))
+            .mkString(" <- ")
           // LOUD is acceptable — but it must be the state-schema guard
-          // speaking, not an unrelated crash.
-          assert(msg.toLowerCase.contains("schema") || msg.toLowerCase.contains("state"),
-            s"skewed restart failed for an unrelated reason: $msg")
+          // speaking, not an unrelated crash. Match the SPECIFIC guard:
+          // a SparkThrowable whose error condition is the state-store
+          // schema family, or 'schema' in a MESSAGE — class names are
+          // excluded from matching (r13 ADVICE: the old rendered-chain
+          // match accepted any crash surfacing
+          // java.lang.IllegalStateException, a common unrelated
+          // streaming-shutdown class, as the guard).
+          val conditions = chain.collect {
+            case st: org.apache.spark.SparkThrowable
+              if st.getCondition != null => st.getCondition
+          }
+          val msgs = chain.map(x => String.valueOf(x.getMessage).toLowerCase)
+          assert(conditions.exists(c =>
+              c.startsWith("STATE_STORE") && c.contains("SCHEMA")) ||
+              msgs.exists(_.contains("schema")),
+            s"skewed restart failed for an unrelated reason: $diag")
         case None =>
           // It ran: the only acceptable emission is a RESUMED total
           // (5 restored + 5 new = 10). A fresh-state 5 is silent loss.
