@@ -560,11 +560,22 @@ object Dedup extends QueryModule {
     * near-dups, the banded join carries a chance-collision candidate
     * term of ~`bands`·N²/2^(width+1) — negligible at fixture N, but at
     * N ≈ 2^16 docs it dominates (×7.4 step for ×4 rows at 80 k docs
-    * with the default 4×16 geometry). Width is the log₂(N) knob: at
-    * 10⁹ docs use ~width 30+, and if the pigeonhole radius then needs
-    * more than `bands`−1, restore it with combination tables
-    * (Manku-style block-permuted simhash) — the banded-join +
-    * exact-confirm structure is unchanged, only the geometry grows.
+    * with the default 4×16 geometry).
+    *
+    * SIZING RULE — width, not bands, is the scale lever (r12 session-5
+    * ×16-corpus measurement, BASELINE.md "round-12 session 5": at 80 k
+    * docs, 4×16 = 8.6 s vs 3×20 = 1.4 s — four extra width bits cut the
+    * collision term 16×, while adding bands only multiplies it):
+    * set `width ≈ log₂N + 4`, which bounds expected chance collisions
+    * per band to ~N²/2^(width+1) ≈ N/32, i.e. the candidate join stays
+    * LINEAR in N — the same role IvfCells ≈ √N plays for the embedding
+    * family's pair term (Similarity.IvfCells scaladoc). Concretely:
+    * 10⁶ docs → width 24; 10⁹ docs → width 34 (needs bands ≤ 1 spare —
+    * at that point restore the hamming ≤ 2 pigeonhole radius with
+    * combination tables, Manku-style block-permuted simhash; the
+    * banded-join + exact-confirm structure is unchanged, only the
+    * geometry grows). Bands stay at the pigeonhole minimum (radius+1);
+    * raising them buys recall radius, never throughput.
     */
   // `SPARK_GRAFT_SIMHASH_BANDS`/`_WIDTH` override the fixture-optimal
   // 4×16 so the width knob is exercisable at probe scale. The driver key

@@ -191,6 +191,45 @@ object Streaming extends QueryModule {
     }
   }
 
+  /** Arrival-file schema gate (r13 verdict task 3): the file stream
+    * source with a user-provided schema silently NULL-fills a column
+    * that a drifted arrival file dropped — rows flow, aggregate under a
+    * phantom NULL group, and the result is silently wrong relative to
+    * the source of truth; a corrupt/truncated file fails only once the
+    * micro-batch actually reads it. At 100 TB's at-least-once ingest
+    * (files landing in a drop folder from many writers), both are
+    * routine, so validate every arrival file's FOOTER against the
+    * expected schema BEFORE starting the stream — the schema-registry
+    * gate every production ingest runs, one footer read per file, never
+    * data-scaled. Poison → one loud error naming the file; extra
+    * columns are benign (the explicit-schema reader ignores them);
+    * recovery = remove/fix the named file (the staged dir is input, not
+    * ours to rewrite). Probed end-to-end by tools/degen_check.py's
+    * arrival_poison family: corrupt footer, type drift, dropped column
+    * — all LOUD with zero committed output, then green again once the
+    * poison is removed.
+    */
+  private def validateArrivals(s: SparkSession, in: String,
+      expected: org.apache.spark.sql.types.StructType): Unit = {
+    val files = Option(new java.io.File(in).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.foreach { f =>
+      val sch = try s.read.parquet(f.getPath).schema catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"poisoned arrival file ${f.getName}: unreadable parquet footer " +
+            s"(${e.getMessage})", e)
+      }
+      expected.fields.foreach { fld =>
+        val got = sch.fields.find(_.name == fld.name)
+        require(got.exists(_.dataType == fld.dataType),
+          s"poisoned arrival file ${f.getName}: column ${fld.name} expected " +
+            s"${fld.dataType.simpleString}, got " +
+            got.map(_.dataType.simpleString).getOrElse("MISSING"))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Daily tumbling window ≡ the reference's per-day batch roll-up.
     "stream_tumbling_daily" -> ((s, d) => {
@@ -339,6 +378,9 @@ object Streaming extends QueryModule {
           stageSingleFile(ev.filter(col("ts") < mid), in, "2_late", t0 + 120000)
         }
         val schema = s.read.parquet(s"$in/0_ontime.parquet").schema
+        // Fail LOUD on any poisoned arrival file before the stream
+        // starts (corrupt footer / schema drift — see validateArrivals).
+        validateArrivals(s, in, schema)
         val emitted = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)

@@ -33,6 +33,7 @@ Usage:
   python3 tools/degen_check.py stream     # streaming corpora only (fast)
   python3 tools/degen_check.py universe [nulls|empty]
   python3 tools/degen_check.py batch_dirty  # loud-failure contract probes
+  python3 tools/degen_check.py arrival    # poisoned streaming-arrival probes
 """
 import datetime as dt
 import os, subprocess, sys
@@ -512,6 +513,105 @@ def write_events_alllate(sfdir: str) -> None:
         (4, "2024-01-03 10:30:00", 2, "purchase", 20.0, '{"k": 3}'),
         (5, "2024-01-03 11:00:00", 3, "view", 3.0, '{"k": 1}'),
     ])
+
+
+def write_events_arrival(sfdir: str) -> None:
+    """Clean corpus for the ARRIVAL-POISON family (r13 verdict task 3):
+    rows in all three of stream_late_drop's staged bands (on-time
+    >= Jan 10, mid Jan 5-10, late < Jan 5) so every arrival file is
+    non-empty and the on-time watermark closes the Jan-12 window."""
+    _write_event_rows(sfdir, [
+        (0, "2024-01-12 10:00:00", 1, "view", 1.0, '{"k": 1}'),
+        (1, "2024-01-12 11:00:00", 1, "purchase", 5.0, '{"k": 1}'),
+        (2, "2024-01-13 09:00:00", 2, "view", 2.0, '{"k": 1}'),
+        (3, "2024-01-07 10:00:00", 1, "view", 3.0, '{"k": 2}'),
+        (4, "2024-01-06 12:00:00", 2, "click", 1.5, '{"k": 2}'),
+        (5, "2024-01-02 10:00:00", 3, "view", 4.0, '{"k": 3}'),
+        (6, "2024-01-03 11:00:00", 3, "purchase", 9.0, '{"k": 3}'),
+    ])
+
+
+def run_arrival_poison() -> bool:
+    """ARRIVAL-POISON family (r13 verdict task 3): a corrupt/truncated
+    parquet file or a schema-drift file planted in a STAGED STREAMING
+    ARRIVAL DIR — the at-least-once 100 TB ingest failure mode (many
+    writers dropping files into a watched folder). The batch families
+    poison the source tables; this one poisons the drop folder itself,
+    where the staging fingerprint (which guards the SOURCE fixture)
+    cannot see it. Contract, pinned by Streaming.validateArrivals: every
+    poison class fails LOUD naming the file, commits NO output, and the
+    dir serves green again once the poison is removed. The dropped-
+    column probe is the dangerous one — without the footer gate the file
+    source NULL-fills the missing column and aggregates a phantom NULL
+    group, silently wrong vs the oracle."""
+    d = "/tmp/degen_arrival"
+    arrival = "/tmp/graft_sld_in_degen_arrival"
+    outdir = "/tmp/vout_degen_arrival"
+    key = "stream_late_drop"
+    subprocess.run(["rm", "-rf", d, arrival], check=True)
+    os.makedirs(d)
+    write_events_arrival(d)
+    # Clean pass stages the arrival dir and proves the cross-engine gate.
+    ok = run_family("arrival_clean", d, key)
+
+    def loud_probe(label: str, writer, expect_msg: str) -> bool:
+        poison = f"{arrival}/3_poison.parquet"
+        writer(poison)
+        subprocess.run(["rm", "-rf", outdir], check=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=key)
+        p = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {d} {outdir}"],
+            env=env, capture_output=True, text=True)
+        line = next((l for l in p.stderr.splitlines()
+                     if l.startswith(f"[verify] {key} failed:")), None)
+        committed = os.path.exists(f"{outdir}/{key}/_SUCCESS")
+        okp = (line is not None
+               and "poisoned arrival file 3_poison.parquet" in line
+               and expect_msg in line and not committed)
+        why = ("" if okp else
+               " (no failure line)" if line is None else
+               " (output committed despite poison)" if committed else
+               f" (wanted '{expect_msg}' in: {line})")
+        print(f"{'PASS' if okp else 'FAIL'} arrival_poison[{label}]{why}")
+        os.remove(poison)
+        return okp
+
+    ts_utc = pa.timestamp("us", tz="UTC")
+
+    def w_corrupt(path):
+        with open(path, "wb") as f:
+            f.write(b"PAR1 this is not a parquet footer")
+
+    def w_typedrift(path):  # value DOUBLE -> STRING
+        pq.write_table(pa.table({
+            "event_id": pa.array([99], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 12, 12)], ts_utc),
+            "user_id": pa.array([9], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array(["oops"], pa.string()),
+            "props": pa.array(["{}"], pa.string()),
+        }), path)
+
+    def w_dropcol(path):  # event_type column MISSING entirely
+        pq.write_table(pa.table({
+            "event_id": pa.array([99], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 12, 12)], ts_utc),
+            "user_id": pa.array([9], pa.int64()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }), path)
+
+    ok = loud_probe("corrupt_footer", w_corrupt,
+                    "unreadable parquet footer") and ok
+    ok = loud_probe("type_drift", w_typedrift,
+                    "column value expected double, got string") and ok
+    ok = loud_probe("dropped_column", w_dropcol,
+                    "column event_type expected string, got MISSING") and ok
+    # Recovery: poison removed -> the SAME staged dir serves green again
+    # (the guard rejects files, it never wipes the drop folder).
+    ok = run_family("arrival_recovered", d, key) and ok
+    print(f"[degen_check] arrival_poison: {'OK' if ok else 'FAIL'}")
+    return ok
 
 
 # ONE corpus list shared by `stream` mode and the default full gate —
@@ -1163,6 +1263,8 @@ def main() -> None:
         sys.exit(0 if run_universe(variant) else 1)
     if mode == "batch_dirty":
         sys.exit(0 if run_batch_dirty() else 1)
+    if mode == "arrival":
+        sys.exit(0 if run_arrival_poison() else 1)
     if mode == "all":
         # ONE entry point, every family, one exit code (r11 verdict task
         # 5: the gate had grown to ~6 separate invocations, and the r11
@@ -1175,13 +1277,15 @@ def main() -> None:
         results["universe_nulls"] = run_universe("nulls")
         results["universe_empty"] = run_universe("empty")
         results["batch_dirty"] = run_batch_dirty()
+        results["arrival_poison"] = run_arrival_poison()
         print("[degen_check] === all-mode summary ===")
         for name, ok in results.items():
             print(f"[degen_check] {name}: {'OK' if ok else 'FAIL'}")
         sys.exit(0 if all(results.values()) else 1)
     if mode is not None:
         print(f"[degen_check] unknown mode '{mode}' "
-              "(expected: all | stream | universe [nulls|empty] | batch_dirty)")
+              "(expected: all | stream | universe [nulls|empty] | "
+              "batch_dirty | arrival)")
         sys.exit(2)
     sys.exit(0 if run_default() else 1)
 
