@@ -312,4 +312,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < graft.operators.Similarity.IvfCells))
     assert(cells.length > 1, s"degenerate quantizer: ${cells.length} cell(s)")
   }
+
+  // The staged-index staleness guard (r14): stagedIvf keys its marker on
+  // the embeddings CONTENT fingerprint, so regenerating the fixture —
+  // same path, same row count — must re-stage and serve the NEW
+  // corpus's answer. A name-only or rows-only marker would keep serving
+  // corpus A's index (the silent-stale-data class the r7 streaming
+  // marker rewrite eliminated; this pins the IVF staging against it).
+  test("staged IVF index restages when the fixture content changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_ivf").toString
+    val rnd = new scala.util.Random(7)
+    def noise(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val probe = noise()
+    def near(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val others = (3 to 9).map(_ => noise())
+    def write(copyId: Long): Unit = {
+      val vecs: Seq[(Long, Array[Float], Int)] =
+        Seq((0L, probe, 0)) ++
+          Seq(1L, 2L).map(id =>
+            (id, if (id == copyId) near(probe) else noise(), 1)) ++
+          others.zipWithIndex.map { case (v, i) => ((i + 3).toLong, v, 2) }
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    def top1(): Long =
+      SparkEntry.queries("sim_ivf_topk")(spark, dir).collect().head.getLong(0)
+    write(copyId = 1L)
+    assert(top1() == 1L, "corpus A: the near-copy of the probe must win")
+    Thread.sleep(20) // distinct mtime for the fingerprint-cache key
+    write(copyId = 2L)
+    assert(top1() == 2L,
+      "REGENERATED fixture served a STALE staged index (marker did not restage)")
+  }
 }
