@@ -43,6 +43,9 @@ import sys
 
 REL_TOL = 1.5   # x band max — generous: the pinned band is itself 3 JVMs
 ABS_TOL = 0.30  # seconds — swallows scheduler noise on fast keys
+ROUND_EPS = 0.005  # bench_full stores 2-decimal seconds; the limit is
+                   # unrounded — compare past the half-quantum so a
+                   # round-to-the-limit value can't misread as a flag
 
 CONTROL_KEYS = ("agg_daily_counts", "fn_math")
 CONTROL_INFLATED = 1.4  # median control ratio at/over this => CONTENDED
@@ -64,7 +67,7 @@ def main() -> None:
         if b is None:
             continue
         limit = max(b["max"] * REL_TOL, b["max"] + ABS_TOL)
-        if v > limit:
+        if v > limit + ROUND_EPS:
             flagged.append((k, v, b))
 
     def ratios_from(vals):

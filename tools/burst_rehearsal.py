@@ -26,6 +26,12 @@ import json, multiprocessing, os, subprocess, sys, time
 
 REL_TOL = 1.5
 ABS_TOL = 0.30
+# bench_full.json stores per-key seconds rounded to 2 decimals, while the
+# limit is computed unrounded — without a half-quantum epsilon a key whose
+# true min sits just UNDER the limit can round up to exactly the limit's
+# printed value and misread as inflated (measured: agg_retention_cohort
+# min 0.67 vs limit 0.6699..., r14 rehearsal).
+ROUND_EPS = 0.005
 
 
 def spin(deadline: float) -> None:
@@ -68,7 +74,7 @@ def main() -> None:
             continue
         limit = max(b["max"] * REL_TOL, b["max"] + ABS_TOL)
         reruns = v.get("rerun_samples", []) + v.get("rerun2_samples", [])
-        if v["min"] <= limit:
+        if v["min"] <= limit + ROUND_EPS:
             if reruns:
                 recovered += 1
             else:
