@@ -651,6 +651,17 @@ object Similarity extends QueryModule {
     * guard. One-time build cost is recorded in BASELINE.md (r14); the
     * oracle is unchanged — [[duckTrained]] re-derives identical
     * centroids from the corpus at any knob setting.
+    *
+    * Cluster translation: the /tmp parquet pair is the local-harness
+    * stand-in for what a 100 TB deployment does with real tables — the
+    * assignment becomes a bucketed/partitioned table with `cell` as
+    * the partition key (each probe then touches one cell's shard) and
+    * the centroid table a small broadcast-side dimension; the build is
+    * an INSERT OVERWRITE whose atomicity comes from the table commit
+    * protocol, and freshness from the ingest pipeline that owns the
+    * corpus — not from this marker file. Single-writer is assumed
+    * here (the harness runs one JVM at a time); concurrent builders
+    * race benignly only to rebuild identical content.
     */
   private def stagedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(s)
