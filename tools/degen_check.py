@@ -607,6 +607,29 @@ def run_arrival_poison() -> bool:
                     "column value expected double, got string") and ok
     ok = loud_probe("dropped_column", w_dropcol,
                     "column event_type expected string, got MISSING") and ok
+
+    # BENIGN class, pinned so the gate can't silently over-tighten: an
+    # arrival file with EXTRA columns is legitimate drift (new producers
+    # add fields) — the explicit-schema reader ignores the extras and
+    # the stream must run AND still match the oracle. The planted row
+    # sits at the existing max on-time timestamp, so the watermark and
+    # the emitted (closed-window) result are unchanged; its window stays
+    # open and never emits.
+    benign = f"{arrival}/3_benign_extra.parquet"
+    pq.write_table(pa.table({
+        "event_id": pa.array([98], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 13, 9)], ts_utc),
+        "user_id": pa.array([9], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+        "extra_col": pa.array(["new-producer-field"], pa.string()),
+    }), benign)
+    ok_benign = run_family("arrival_benign_extra", d, key)
+    print(f"{'PASS' if ok_benign else 'FAIL'} arrival_poison[benign_extra_column]")
+    ok = ok_benign and ok
+    os.remove(benign)
+
     # Recovery: poison removed -> the SAME staged dir serves green again
     # (the guard rejects files, it never wipes the drop folder).
     ok = run_family("arrival_recovered", d, key) and ok
