@@ -265,10 +265,21 @@ object Bench {
     // with rerun unincremented, the truthful diagnosis (r11 review).
     // Failed keys (-1 sentinel) are never retried — a deterministic
     // failure would just fail again and mask nothing.
+    // Re-measures run one UNTIMED warm-up of the key first: the sweep's
+    // clearCache left its persisted subtrees cold, but the pinned band
+    // was measured warm (samples 2-3 share sample 1's cache), so a cold
+    // single draw of a persist-heavy key could stay over band on a
+    // quiet box and defeat the rescue pass (r14 review find). The cost
+    // is one extra execution, paid only by flagged keys.
+    def warmRemeasure(k: String): Double = {
+      try run(k) catch { case _: Throwable => () }
+      val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      extra
+    }
     samples.foreach { case (k, ss) =>
       if (overFlag(k, ss)) {
-        val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val extra = warmRemeasure(k)
         if (extra >= 0) rerun1(k) = extra
       }
     }
@@ -301,15 +312,21 @@ object Bench {
         graft.T.envInt("SPARK_GRAFT_RERUN2_DELAY_SEC", 60, min = 0, max = 3600) * 1000L
       Thread.sleep(delayMs)
       stillOver.foreach { case (k, _) =>
-        val extra = try timeOnce(k) catch { case _: Throwable => -1.0 }
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val extra = warmRemeasure(k)
         if (extra >= 0) rerun2(k) = extra
       }
       // A control that is itself a flagged key can't vouch for the
       // window (bench_compare also excludes it); time the others anyway.
+      // Warm-up + min-of-3 per control: the flagged key's judged number
+      // is a min over WARM samples, so a single cold control draw (in a
+      // key-filtered run the control may never have executed in this
+      // JVM) would bias the contention ratio high and could read a real
+      // regression as CONTENDED (r14 review find) — match the statistic.
       controlKeys.filter(SparkEntry.queries.contains).foreach { c =>
-        val t = try timeOnce(c) catch { case _: Throwable => -1.0 }
-        if (t >= 0) rerun2Controls(c) = t
+        try run(c) catch { case _: Throwable => () }
+        val ts = (1 to 3).flatMap(_ =>
+          try Some(timeOnce(c)) catch { case _: Throwable => None })
+        if (ts.nonEmpty) rerun2Controls(c) = ts.min
       }
     }
     val results = samples.map { case (k, ss) => k -> bestOf(k, ss) }.toMap

@@ -663,14 +663,40 @@ object Similarity extends QueryModule {
     * here (the harness runs one JVM at a time); concurrent builders
     * race benignly only to rebuild identical content.
     */
+  // Trainer/assignment ALGORITHM version, part of the staging
+  // fingerprint AND the dir name: the content fingerprint only guards
+  // the INPUT, so a future change to trainCentroidsN/assignCells
+  // arithmetic (tie-breaks, update rule, packing) would otherwise
+  // silently serve an old-algorithm index built by a previous process
+  // while the oracle recomputes with the new arithmetic. BUMP THIS
+  // whenever the staged tables' derivation changes observably.
+  private val IvfIndexVersion = 1
+
+  // One reap hook per staged dir, however many times a key re-enters.
+  private val reapAtExit =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   private def stagedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(s)
     val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val knobs = s"cells=$IvfCells;mod=$IvfSampleMod;iters=$IvfIters"
+    val knobs =
+      s"v=$IvfIndexVersion;cells=$IvfCells;mod=$IvfSampleMod;iters=$IvfIters"
     val path =
       s"/tmp/graft_ivf_${tag}_${(knobs.hashCode & 0x7fffffff).toHexString}"
     val marker = java.nio.file.Paths.get(s"$path/_STAGED")
     val fp = s"${embFingerprint(s, d)};$knobs"
+    // A staged index for a TEMP fixture (generated test/degen corpora
+    // under java.io.tmpdir, each with a unique dir name) can never be
+    // reused by another JVM — reap it at exit instead of accumulating
+    // one corpus-sized parquet dir per test run. Real fixtures
+    // (/root/testdata, probe corpora) keep cross-JVM persistence.
+    val tmpRoot = System.getProperty("java.io.tmpdir", "/tmp")
+    if (new java.io.File(d).getAbsolutePath.startsWith(tmpRoot) &&
+        reapAtExit.putIfAbsent(path, ()).isEmpty)
+      sys.addShutdownHook {
+        try Streaming.rmr(java.nio.file.Paths.get(path))
+        catch { case _: Throwable => () }
+      }
     val ok = scala.util.Try(java.nio.file.Files.readString(marker))
       .toOption.contains(fp)
     if (!ok) {

@@ -201,7 +201,11 @@ object Streaming extends QueryModule {
     * routine, so validate every arrival file's FOOTER against the
     * expected schema BEFORE starting the stream — the schema-registry
     * gate every production ingest runs, one footer read per file, never
-    * data-scaled. Poison → one loud error naming the file; extra
+    * data-scaled — applied at EVERY staged-arrival read site (all six
+    * checkpointed keys, both join-source dirs included; r14 review
+    * find: the gate began life on stream_late_drop only, leaving the
+    * other drop folders exposed to the same NULL-fill class).
+    * Poison → one loud error naming the file; extra
     * columns are benign (the explicit-schema reader ignores them);
     * recovery = remove/fix the named file (the staged dir is input, not
     * ours to rewrite). Probed end-to-end by tools/degen_check.py's
@@ -297,6 +301,7 @@ object Streaming extends QueryModule {
         java.nio.file.Files.createSymbolicLink(
           in.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        validateArrivals(s, in.toString, schema)
         val agg = T.normalizeTs(s.readStream.schema(schema).parquet(in.toString))
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -457,6 +462,7 @@ object Streaming extends QueryModule {
             in, "1_redelivered", t0 + 60000)
         }
         val schema = s.read.parquet(s"$in/0_full.parquet").schema
+        validateArrivals(s, in, schema)
         val emitted = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
@@ -538,6 +544,7 @@ object Streaming extends QueryModule {
           }
         }
         val sch = s.read.parquet(s"$in/0_h1.parquet").schema
+        validateArrivals(s, in, sch)
         val emitted = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)
@@ -613,6 +620,8 @@ object Streaming extends QueryModule {
         }
         val pSch = s.read.parquet(s"$in/p").schema
         val cSch = s.read.parquet(s"$in/c").schema
+        validateArrivals(s, s"$in/p", pSch)
+        validateArrivals(s, s"$in/c", cSch)
         val p = s.readStream.schema(pSch).parquet(s"$in/p")
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "1 hour")
@@ -671,6 +680,7 @@ object Streaming extends QueryModule {
           stageSingleFile(ev.filter(col("ts") >= split), in, "1_h2", t0 + 60000)
         }
         val sch = s.read.parquet(s"$in/0_h1.parquet").schema
+        validateArrivals(s, in, sch)
         val emitted = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", "1")
           .parquet(in.toString)

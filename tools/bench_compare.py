@@ -15,7 +15,11 @@ Each flagged key is then CLASSIFIED against the CONTROL keys (r13 verdict
 task 1 — pinned, never-changing keys measured in the same run):
 
   control ratio = control value / control pinned median
-  median control ratio >= CONTROL_INFLATED  ->  CONTENDED (machine state:
+    (Bench takes each rerun2-window control as a WARM min-of-3 — the
+    same statistic as the flagged key's judged number, so a single
+    cold/noisy control draw can't bias the ratio high and mask a
+    regression)
+  central control ratio >= CONTROL_INFLATED ->  CONTENDED (machine state:
       the whole box is inflated, not this key's code — the r13
       text_bigram_lm false flag, where agg_daily_counts ran 2.0x and
       text_tfidf 1.9x their pins on byte-identical code)
@@ -48,7 +52,7 @@ ROUND_EPS = 0.005  # bench_full stores 2-decimal seconds; the limit is
                    # round-to-the-limit value can't misread as a flag
 
 CONTROL_KEYS = ("agg_daily_counts", "fn_math")
-CONTROL_INFLATED = 1.4  # median control ratio at/over this => CONTENDED
+CONTROL_INFLATED = 1.4  # central (median; mean-of-2) control ratio => CONTENDED
 
 
 def main() -> None:

@@ -554,17 +554,18 @@ def run_arrival_poison() -> bool:
     # Clean pass stages the arrival dir and proves the cross-engine gate.
     ok = run_family("arrival_clean", d, key)
 
-    def loud_probe(label: str, writer, expect_msg: str) -> bool:
-        poison = f"{arrival}/3_poison.parquet"
+    def loud_probe(label: str, writer, expect_msg: str,
+                   pkey: str = key, parrival: str = None) -> bool:
+        poison = f"{parrival or arrival}/3_poison.parquet"
         writer(poison)
         subprocess.run(["rm", "-rf", outdir], check=True)
-        env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=key)
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=pkey)
         p = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {d} {outdir}"],
             env=env, capture_output=True, text=True)
         line = next((l for l in p.stderr.splitlines()
-                     if l.startswith(f"[verify] {key} failed:")), None)
-        committed = os.path.exists(f"{outdir}/{key}/_SUCCESS")
+                     if l.startswith(f"[verify] {pkey} failed:")), None)
+        committed = os.path.exists(f"{outdir}/{pkey}/_SUCCESS")
         okp = (line is not None
                and "poisoned arrival file 3_poison.parquet" in line
                and expect_msg in line and not committed)
@@ -633,6 +634,19 @@ def run_arrival_poison() -> bool:
     # Recovery: poison removed -> the SAME staged dir serves green again
     # (the guard rejects files, it never wipes the drop folder).
     ok = run_family("arrival_recovered", d, key) and ok
+
+    # Shared-path probe (r14 review find: the gate began life on
+    # stream_late_drop only): validateArrivals runs at EVERY staged
+    # arrival read site, so pin a SECOND key's drop folder against the
+    # dropped-column class end-to-end.
+    key2 = "stream_dedup"
+    arrival2 = "/tmp/graft_sdd_in_degen_arrival"
+    ok = run_family("arrival2_clean", d, key2) and ok  # stages arrival2
+    ok = loud_probe("dropped_column_stream_dedup", w_dropcol,
+                    "column event_type expected string, got MISSING",
+                    pkey=key2, parrival=arrival2) and ok
+    ok = run_family("arrival2_recovered", d, key2) and ok
+
     print(f"[degen_check] arrival_poison: {'OK' if ok else 'FAIL'}")
     return ok
 
