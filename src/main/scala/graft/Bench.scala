@@ -399,9 +399,22 @@ object Bench {
       else rerun2Controls.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k": ${f(v)}""" }
         .mkString("  \"rerun2_controls\": {", ", ", "},\n")
+    // Rehearsal artifacts must be self-describing (r14 ADVICE): when the
+    // synthetic-slowdown knob is live, stamp it into the JSON header AND
+    // the stdout metric line, so a leaked env var can never produce an
+    // artifact indistinguishable from a genuine regression —
+    // tools/bench_compare.py refuses to green a stamped artifact.
+    val synthJson = sleepKey.map(k =>
+      s"""  "synthetic_sleep": {"key": "$k", "ms": $sleepMs},\n""").getOrElse("")
+    val synthStdout = sleepKey.map(k =>
+      s""","synthetic_sleep":"$k:${sleepMs}ms"""").getOrElse("")
+    // Wall-clock stamp: tools/bench_compare.py compares it against
+    // bench_baseline_isolated.json's to require the isolated arbiter to
+    // POSTDATE the run it vouches for.
+    val genAt = System.currentTimeMillis() / 1000L
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "early_accept": ${acceptAt.nonEmpty},\n  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n$ctlJson  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun1.size},"rerun2":${rerun2.size}}""")
+      s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "generated_at": $genAt,\n  "early_accept": ${acceptAt.nonEmpty},\n$synthJson  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n$ctlJson  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun1.size},"rerun2":${rerun2.size}$synthStdout}""")
     spark.stop()
   }
 }

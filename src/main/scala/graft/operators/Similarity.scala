@@ -659,9 +659,12 @@ object Similarity extends QueryModule {
     * the centroid table a small broadcast-side dimension; the build is
     * an INSERT OVERWRITE whose atomicity comes from the table commit
     * protocol, and freshness from the ingest pipeline that owns the
-    * corpus — not from this marker file. Single-writer is assumed
-    * here (the harness runs one JVM at a time); concurrent builders
-    * race benignly only to rebuild identical content.
+    * corpus — not from this marker file. Staging is atomic (r15): the
+    * index is built complete — marker included — under a pid-unique
+    * temp sibling and published by rename
+    * ([[Streaming.atomicPublishDir]]), so concurrent builders can race
+    * but never tear each other's output; the rename loser adopts the
+    * winner's verified-identical index.
     */
   // Trainer/assignment ALGORITHM version, part of the staging
   // fingerprint AND the dir name: the content fingerprint only guards
@@ -700,21 +703,42 @@ object Similarity extends QueryModule {
     val ok = scala.util.Try(java.nio.file.Files.readString(marker))
       .toOption.contains(fp)
     if (!ok) {
-      Streaming.rmr(java.nio.file.Paths.get(path))
-      new java.io.File(path).mkdirs()
-      val e = embeddings(s, d).filter(expr(usableVec("embedding")))
-      trainCentroidsN(s, e)
-        .write.mode("overwrite").parquet(s"$path/cents")
-      // Assignment against the PERSISTED centroids (read back, not the
-      // in-memory checkpoint) so the staged index is self-consistent
-      // by construction even across process restarts mid-staging.
-      val cents = s.read.schema(centsReadSchema).parquet(s"$path/cents")
-      assignCells(
-        e.select(col("vec_id"), col("embedding"),
-          expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
-        cents)
-        .write.mode("overwrite").parquet(s"$path/assign")
-      java.nio.file.Files.writeString(marker, fp)
+      // Build the whole index — cents, assign, marker — under a
+      // pid-unique temp sibling, then publish with atomic renames
+      // (r14 verdict task 3): a reader can never observe a dir whose
+      // marker verifies but whose parquet is absent/torn, because the
+      // marker only ever becomes visible together with the complete
+      // content it describes. Two concurrent builders race only at the
+      // final rename; the loser re-verifies the winner's marker and —
+      // same (content fingerprint, knobs) ⇒ byte-identical derivation —
+      // adopts it.
+      val tmp = java.nio.file.Paths.get(
+        s"$path.tmp.${ProcessHandle.current().pid()}")
+      Streaming.rmr(tmp)
+      java.nio.file.Files.createDirectories(tmp)
+      try {
+        val e = embeddings(s, d).filter(expr(usableVec("embedding")))
+        trainCentroidsN(s, e)
+          .write.mode("overwrite").parquet(s"$tmp/cents")
+        // Assignment against the PERSISTED centroids (read back, not the
+        // in-memory checkpoint) so the staged index is self-consistent
+        // by construction even across process restarts mid-staging.
+        val cents = s.read.schema(centsReadSchema).parquet(s"$tmp/cents")
+        assignCells(
+          e.select(col("vec_id"), col("embedding"),
+            expr("sqrt(dot_f32(embedding, embedding))").as("norm")),
+          cents)
+          .write.mode("overwrite").parquet(s"$tmp/assign")
+        java.nio.file.Files.writeString(tmp.resolve("_STAGED"), fp)
+        Streaming.atomicPublishDir(tmp, java.nio.file.Paths.get(path))
+      } catch {
+        case _: Throwable
+            if scala.util.Try(java.nio.file.Files.readString(marker))
+              .toOption.contains(fp) =>
+          // Lost the publish race, but a verified identical index is in
+          // place — adopt it. Any failure WITHOUT a valid marker rethrows.
+          ()
+      } finally Streaming.rmr(tmp)
     }
     (s.read.schema(centsReadSchema).parquet(s"$path/cents"),
       s.read.schema(assignReadSchema).parquet(s"$path/assign"))

@@ -33,6 +33,47 @@ object Streaming extends QueryModule {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** Publish a fully-built staging directory at `dst` via atomic rename
+    * (r14 verdict task 3): the old rmr-then-write-in-place staging left a
+    * window where a second JVM saw — or tore — a half-written dir before
+    * the marker landed. Here `tmp` is complete (marker included) before
+    * any rename, the previous generation is moved ASIDE (rename, not a
+    * slow recursive delete) and only then deleted, and `tmp` lands at
+    * `dst` in one rename. Both paths must share a filesystem (same /tmp
+    * parent by construction). A concurrent publisher that wins the race
+    * makes our second rename throw — the caller re-verifies the marker
+    * and accepts the identical winner (same fingerprint ⇒ same content).
+    */
+  private[graft] def atomicPublishDir(tmp: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    val retired = java.nio.file.Paths.get(
+      s"$dst.old.${ProcessHandle.current().pid()}")
+    var published = false
+    try {
+      if (java.nio.file.Files.exists(dst))
+        java.nio.file.Files.move(dst, retired,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      published = true
+    } finally {
+      // Failed move-in with the old generation already retired: ROLL
+      // BACK (rename retired into place) so a failed publish never
+      // leaves the destination absent — the first cut of this helper
+      // deleted `retired` unconditionally and a late rename failure
+      // destroyed the only live generation (caught by StreamingSpec's
+      // ghost-publish probe). The retired copy is deleted only once a
+      // valid generation — ours or a concurrent winner's — sits at dst.
+      if (!published && !java.nio.file.Files.exists(dst) &&
+          java.nio.file.Files.exists(retired))
+        try java.nio.file.Files.move(retired, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Throwable => () }
+      if (java.nio.file.Files.exists(dst))
+        try rmr(retired) catch { case _: Throwable => () }
+    }
+  }
+
   /** Temp dir that outlives the returned lazy DataFrame (the streaming
     * sink's output must stay readable until the caller's action runs) but
     * is reaped at JVM exit — repeat invocations (bench min-of-3) would
@@ -130,10 +171,18 @@ object Streaming extends QueryModule {
     } finally rmr(stage)
   }
 
-  /** On-disk signature of the fixture path (total bytes + newest mtime
-    * across part files) — cheap, no Spark job. Keys the fingerprint cache
-    * so a fixture regenerated MID-JVM (long bench session) still misses
-    * the cache and is re-fingerprinted (r8 ADVICE).
+  /** On-disk signature of the fixture path — cheap, no Spark job. Keys
+    * the fingerprint cache so a fixture regenerated MID-JVM (long bench
+    * session) still misses the cache and is re-fingerprinted (r8
+    * ADVICE). r15 (r14 ADVICE): the old total-bytes + max-mtime-millis
+    * pair collided when a fixture was regenerated in place with
+    * identical total size within the same millisecond (or on a
+    * coarse-mtime filesystem) — now a SHA-256 over the sorted per-file
+    * (relative name, size, mtime-NANOS) listing plus the file count, so
+    * any file added, removed, renamed, resized, or retouched at
+    * nanosecond granularity changes the signature. (Spark part-file
+    * names carry a fresh task UUID per write, so even a same-instant
+    * in-place rewrite changes the listing.)
     */
   private[graft] def fileSig(p: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
@@ -141,10 +190,14 @@ object Streaming extends QueryModule {
     else {
       val fs = java.nio.file.Files.walk(p).iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-      val bytes = fs.map(java.nio.file.Files.size).sum
-      val mtime = fs.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
-        .maxOption.getOrElse(0L)
-      s"$bytes:$mtime"
+      val listing = fs.map { f =>
+        val nanos = java.nio.file.Files.getLastModifiedTime(f)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:$nanos"
+      }.sorted.mkString("\n")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"n=${fs.size};sha=${digest.take(12).map("%02x".format(_)).mkString}"
     }
   }
 
@@ -213,10 +266,27 @@ object Streaming extends QueryModule {
     * — all LOUD with zero committed output, then green again once the
     * poison is removed.
     */
-  private def validateArrivals(s: SparkSession, in: String,
+  private[graft] def validateArrivals(s: SparkSession, in: String,
       expected: org.apache.spark.sql.types.StructType): Unit = {
+    // Gate EXACTLY the file set the stream source will list (r14
+    // ADVICE): the source does NOT filter by extension — it lists every
+    // file Spark's hidden-path rule admits — so an extension-based gate
+    // (the r14 `.parquet`-only filter) let a drifted `data.pq` or
+    // `part-000.snappy` bypass the footer check and reopen the
+    // NULL-fill/late-crash class. Mirror the listing rule
+    // (InMemoryFileIndex.shouldFilterOutPathName): hidden = starts with
+    // "." / in-flight "._COPYING_" / starts with "_" without "=" —
+    // except the `_metadata`/`_common_metadata` names, which the source
+    // DOES list and the gate must therefore check too.
+    def sourceLists(name: String): Boolean = {
+      val excluded = (name.startsWith("_") && !name.contains("=")) ||
+        name.startsWith(".") || name.endsWith("._COPYING_")
+      val readmitted =
+        name.startsWith("_metadata") || name.startsWith("_common_metadata")
+      !excluded || readmitted
+    }
     val files = Option(new java.io.File(in).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && sourceLists(f.getName))
       .sortBy(_.getName)
     files.foreach { f =>
       val sch = try s.read.parquet(f.getPath).schema catch {

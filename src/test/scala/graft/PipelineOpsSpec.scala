@@ -341,7 +341,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       SparkEntry.queries("sim_ivf_topk")(spark, dir).collect().head.getLong(0)
     write(copyId = 1L)
     assert(top1() == 1L, "corpus A: the near-copy of the probe must win")
-    Thread.sleep(20) // distinct mtime for the fingerprint-cache key
+    // No sleep needed for cache-key distinctness: fileSig (r15) hashes
+    // the per-file (name, size, mtimeNanos) listing, and every Spark
+    // write emits fresh task-UUID part names — an in-place regeneration
+    // always changes the signature, even same-instant on a coarse-mtime
+    // filesystem.
     write(copyId = 2L)
     assert(top1() == 2L,
       "REGENERATED fixture served a STALE staged index (marker did not restage)")

@@ -356,6 +356,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(marker) == fp)
   }
 
+  test("atomicPublishDir swaps generations atomically and leaves no debris") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pub_t")
+    val dst = root.resolve("idx")
+    def buildTmp(gen: Int): java.nio.file.Path = {
+      val t = root.resolve(s"idx.tmp.$gen")
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.writeString(t.resolve("payload.txt"), s"gen#$gen")
+      java.nio.file.Files.writeString(t.resolve("_STAGED"), s"fp#$gen")
+      t
+    }
+    // First publish: dst absent → single rename.
+    operators.Streaming.atomicPublishDir(buildTmp(1), dst)
+    assert(java.nio.file.Files.readString(dst.resolve("payload.txt")) == "gen#1")
+    // Second publish over a live generation: retire-aside + rename; the
+    // new content and marker become visible together, the old
+    // generation and the temp dir are both gone.
+    operators.Streaming.atomicPublishDir(buildTmp(2), dst)
+    assert(java.nio.file.Files.readString(dst.resolve("payload.txt")) == "gen#2")
+    assert(java.nio.file.Files.readString(dst.resolve("_STAGED")) == "fp#2")
+    val leftovers = java.nio.file.Files.list(root).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.sorted == Seq("idx"),
+      s"publish left debris next to the destination: $names")
+    // Failed publish (the move-in rename throws AFTER the live
+    // generation was retired aside — here: tmp never existed): the
+    // caller must see the failure AND the previous generation must be
+    // rolled back into place, never deleted — a failed publish can
+    // degrade to "kept the old index", never to "no index at all".
+    val ghost = root.resolve("idx.tmp.ghost")
+    intercept[java.nio.file.NoSuchFileException] {
+      operators.Streaming.atomicPublishDir(ghost, dst)
+    }
+    assert(java.nio.file.Files.readString(dst.resolve("payload.txt")) == "gen#2",
+      "failed publish must roll the retired generation back into place")
+    assert(java.nio.file.Files.readString(dst.resolve("_STAGED")) == "fp#2")
+  }
+
+  test("validateArrivals gates every file the stream source lists, not just *.parquet") {
+    val in = java.nio.file.Files.createTempDirectory("graft_gate_t").toString
+    val expected = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    spark.range(3).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$in/stage")
+    val part = new java.io.File(s"$in/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$in/arrival-000.parquet"))
+    operators.Streaming.rmr(java.nio.file.Paths.get(s"$in/stage"))
+    // Clean dir: gate passes.
+    operators.Streaming.validateArrivals(spark, in, expected)
+    // Poison WITHOUT a .parquet suffix — the r14 gate's blind spot: the
+    // file stream source lists it (no hidden prefix), reads it as
+    // parquet, and crashes or NULL-fills mid-batch. The gate must now
+    // catch it up front, naming the file.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/data.pq"), "not parquet at all")
+    val err = intercept[IllegalArgumentException] {
+      operators.Streaming.validateArrivals(spark, in, expected)
+    }
+    assert(err.getMessage.contains("data.pq"),
+      s"gate must name the poison file: ${err.getMessage}")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$in/data.pq"))
+    // Files the SOURCE ignores (hidden/marker/in-flight) stay ungated —
+    // gate and source must agree on the file set in both directions.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/_STAGED"), "fingerprint, not parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/.hidden"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/x._COPYING_"), "in-flight junk")
+    operators.Streaming.validateArrivals(spark, in, expected)
+    // But `_metadata`-named files ARE listed by the source (the one
+    // readmission in Spark's hidden-path rule) — so the gate checks them.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/_metadata"), "junk the source reads")
+    val err2 = intercept[IllegalArgumentException] {
+      operators.Streaming.validateArrivals(spark, in, expected)
+    }
+    assert(err2.getMessage.contains("_metadata"))
+  }
+
   // VERDICT r9 task 6: the stream_late_drop oracle's emission rule
   // (`day + 1 DAY <= wm`, INCLUSIVE) has never been exercised at the
   // boundary — fixture microsecond timestamps never produce a day-window
