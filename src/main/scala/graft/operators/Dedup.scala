@@ -176,7 +176,7 @@ object Dedup extends QueryModule {
     * signature empty, and 32-bit signatures measurably cluster on the
     * fixture vocabulary (band buckets skew, candidate join blows up).
     */
-  private def simhashDS(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashDS(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
@@ -352,9 +352,19 @@ object Dedup extends QueryModule {
       .persist()
     val mhRows = banded.count()
     val mhPairs = banded.distinct().count()
+    // simhash band join (r14 verdict task 4: ×64 evidence for this
+    // family too): raw banded candidate volume (what the join shuffles
+    // and the hamming confirm scans) and confirmed hamming ≤ 2 pairs —
+    // the same two-number shape as the minhash row above, measured on
+    // the key's exact stages.
+    val shSig = simhashDS(s, dir).persist()
+    val shRows =
+      simhashBandedCands(shSig, SimhashBands, SimhashBandBits).count()
+    val shPairs = simhashBandPairs(shSig).count()
     Map("n_docs" -> d.count(), "full_index_pairs" -> fullIdx,
       "prefix_pairs" -> prefix, "prefix_capped_pairs" -> prefixCapped,
-      "minhash_band_rows" -> mhRows, "minhash_pairs" -> mhPairs)
+      "minhash_band_rows" -> mhRows, "minhash_pairs" -> mhPairs,
+      "simhash_band_rows" -> shRows, "simhash_pairs" -> shPairs)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -576,6 +586,19 @@ object Dedup extends QueryModule {
     * banded-join + exact-confirm structure is unchanged, only the
     * geometry grows). Bands stay at the pigeonhole minimum (radius+1);
     * raising them buys recall radius, never throughput.
+    *
+    * ×64 CAVEAT (r15, measured — BASELINE.md "round-15 ×64 probe"): the
+    * rule's N²/2^(width+1) term assumes INDEPENDENT bits. At 320 k docs
+    * the 4×16 banded join measured 596 M candidate rows (≈ N^1.95) and
+    * rule-sized 3×20 cut that only 3.5× (169 M, wall 368 → 171 s,
+    * confirmed output bit-identical) — ~1000× over the uniform-key
+    * expectation, and NOT from duplicate signatures (SigStats: 316 748
+    * distinct / 320 000, max group 4). Natural-text simhash bits are
+    * correlated, so effective band-key entropy ≪ nominal width; at
+    * cluster scale budget width against MEASURED band-key df (or mix
+    * the bit source / df-cap head band keys — capping must hit both
+    * shared bands of a hamming ≤ 2 pair to lose it), not the uniform
+    * formula.
     */
   // `SPARK_GRAFT_SIMHASH_BANDS`/`_WIDTH` override the fixture-optimal
   // 4×16 so the width knob is exercisable at probe scale. The driver key
@@ -600,6 +623,22 @@ object Dedup extends QueryModule {
     // shipped 4×16 default accepts this, 3×20 avoids it).
     require(width >= 1 && bands * width <= 64,
       s"band geometry must fit the 64-bit signature word: $bands × $width")
+    simhashBandedCands(sig, bands, width)
+      // Filter BEFORE the pair-dedup: hamming is identical for every
+      // banded copy of a pair, and candidates outnumber survivors ~1000×
+      // on clustered corpora — dedup only what passed.
+      .filter(col("hamming") <= 2)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** The raw banded candidate join `simhashBandPairs` confirms over —
+    * split out so the [[candidateCounts]] scale probe measures the
+    * key's EXACT candidate stage (one definition for key and probe),
+    * the same discipline prefixCandStage/minhashSigExprs follow.
+    */
+  private[graft] def simhashBandedCands(sig: DataFrame,
+                                        bands: Int,
+                                        width: Int): DataFrame = {
     val mask = (1L << width) - 1
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
@@ -610,11 +649,6 @@ object Dedup extends QueryModule {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      // Filter BEFORE the pair-dedup: hamming is identical for every
-      // banded copy of a pair, and candidates outnumber survivors ~1000×
-      // on clustered corpora — dedup only what passed.
-      .filter(col("hamming") <= 2)
-      .dropDuplicates("a_id", "b_id")
   }
 
   def oracleSql: Map[String, String] = {

@@ -555,8 +555,9 @@ def run_arrival_poison() -> bool:
     ok = run_family("arrival_clean", d, key)
 
     def loud_probe(label: str, writer, expect_msg: str,
-                   pkey: str = key, parrival: str = None) -> bool:
-        poison = f"{parrival or arrival}/3_poison.parquet"
+                   pkey: str = key, parrival: str = None,
+                   pname: str = "3_poison.parquet") -> bool:
+        poison = f"{parrival or arrival}/{pname}"
         writer(poison)
         subprocess.run(["rm", "-rf", outdir], check=True)
         env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_KEYS=pkey)
@@ -567,7 +568,7 @@ def run_arrival_poison() -> bool:
                      if l.startswith(f"[verify] {pkey} failed:")), None)
         committed = os.path.exists(f"{outdir}/{pkey}/_SUCCESS")
         okp = (line is not None
-               and "poisoned arrival file 3_poison.parquet" in line
+               and f"poisoned arrival file {pname}" in line
                and expect_msg in line and not committed)
         why = ("" if okp else
                " (no failure line)" if line is None else
@@ -608,6 +609,18 @@ def run_arrival_poison() -> bool:
                     "column value expected double, got string") and ok
     ok = loud_probe("dropped_column", w_dropcol,
                     "column event_type expected string, got MISSING") and ok
+    # Extension-bypass class (r14 ADVICE / r15): the file stream source
+    # lists every non-hidden file regardless of suffix, so a poison named
+    # anything but *.parquet slipped past the r14 gate's extension filter
+    # and reopened the NULL-fill class mid-batch. The gate now mirrors
+    # the source's listing rule — a corrupt `.pq` must fail loud up
+    # front, naming the file, exactly like its .parquet twin.
+    ok = loud_probe("corrupt_nonparquet_name", w_corrupt,
+                    "unreadable parquet footer",
+                    pname="3_poison.pq") and ok
+    ok = loud_probe("dropped_column_nonparquet_name", w_dropcol,
+                    "column event_type expected string, got MISSING",
+                    pname="3_poison.snappy") and ok
 
     # BENIGN class, pinned so the gate can't silently over-tighten: an
     # arrival file with EXTRA columns is legitimate drift (new producers
