@@ -596,9 +596,10 @@ object Dedup extends QueryModule {
     * distinct / 320 000, max group 4). Natural-text simhash bits are
     * correlated, so effective band-key entropy ≪ nominal width; at
     * cluster scale budget width against MEASURED band-key df (or mix
-    * the bit source / df-cap head band keys — capping must hit both
-    * shared bands of a hamming ≤ 2 pair to lose it), not the uniform
-    * formula.
+    * the bit source, or cap head band keys via
+    * `SPARK_GRAFT_SIMHASH_BAND_DF_CAP` — see [[SimhashBandDfCap]] for
+    * the recall bound and the ×64 measured cost/loss table), not the
+    * uniform formula.
     */
   // `SPARK_GRAFT_SIMHASH_BANDS`/`_WIDTH` override the fixture-optimal
   // 4×16 so the width knob is exercisable at probe scale. The driver key
@@ -610,9 +611,31 @@ object Dedup extends QueryModule {
     graft.T.envInt("SPARK_GRAFT_SIMHASH_BANDS", 4, min = 3, max = 64)
   private[graft] val SimhashBandBits: Int =
     graft.T.envInt("SPARK_GRAFT_SIMHASH_WIDTH", 16, min = 1, max = 62)
+  /** Head-band-key df cap (r15 ×64 mitigation, default 0 = OFF). When
+    * > 0, banded rows whose (band, key) group exceeds the cap are
+    * dropped BEFORE the self-join — the correlated-bit skew measured at
+    * ×64 (BASELINE.md round-15 probe: 169 M band rows at rule-sized
+    * 3×20, ~1000× the uniform-key expectation) lives entirely in a
+    * small head of hot band keys, so capping them removes the
+    * quadratic term the width rule cannot reach. RECALL BOUND
+    * (pigeonhole): a hamming ≤ 2 pair has ≥ bands−2 identical
+    * ("clean") bands and is lost only if EVERY clean band's key is
+    * capped — with the shipped 4 bands that takes ≥ 2 hot keys on the
+    * same pair; with 3 bands a single hot key can cost a pair whose
+    * two differing bits land in the other two bands. Unlike the
+    * geometry knobs this trades bounded recall for scale, so it is NOT
+    * exactness-preserving: leave it 0 under Verify (the oracle computes
+    * the uncapped pair set). Measured loss at ×64 is in BASELINE.md
+    * next to the band-row cuts.
+    */
+  private[graft] val SimhashBandDfCap: Int =
+    graft.T.envInt("SPARK_GRAFT_SIMHASH_BAND_DF_CAP", 0,
+      min = 0, max = Int.MaxValue)
   private[graft] def simhashBandPairs(sig: DataFrame,
                                       bands: Int = SimhashBands,
-                                      width: Int = SimhashBandBits): DataFrame = {
+                                      width: Int = SimhashBandBits,
+                                      capDf: Long = SimhashBandDfCap.toLong)
+      : DataFrame = {
     require(bands >= 3,
       s"hamming ≤ 2 recall needs ≥ 3 disjoint bands (pigeonhole), got $bands")
     // ≤ 64 is the real capacity: the signature word is 64 bits with bits
@@ -623,7 +646,7 @@ object Dedup extends QueryModule {
     // shipped 4×16 default accepts this, 3×20 avoids it).
     require(width >= 1 && bands * width <= 64,
       s"band geometry must fit the 64-bit signature word: $bands × $width")
-    simhashBandedCands(sig, bands, width)
+    simhashBandedCands(sig, bands, width, capDf)
       // Filter BEFORE the pair-dedup: hamming is identical for every
       // banded copy of a pair, and candidates outnumber survivors ~1000×
       // on clustered corpora — dedup only what passed.
@@ -638,12 +661,32 @@ object Dedup extends QueryModule {
     */
   private[graft] def simhashBandedCands(sig: DataFrame,
                                         bands: Int,
-                                        width: Int): DataFrame = {
+                                        width: Int,
+                                        capDf: Long = 0L): DataFrame = {
     val mask = (1L << width) - 1
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded0 = sig.select(col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bkey",
         expr(s"shiftright(simhash, CAST(band * $width AS INT)) & $mask"))
+    // capDf > 0: drop banded rows keyed by a hot (band, key) group. The
+    // hot-key list is tiny by construction (it is the df HEAD), so it
+    // broadcasts; the groupBy is one linear aggregation over N·bands
+    // rows — strictly cheaper than the quadratic join term it removes.
+    // Recall bound + Verify caveat: see the SimhashBandDfCap scaladoc.
+    val banded = if (capDf <= 0L) banded0 else {
+      // persist(): the self-join duplicates this subtree per arm (the
+      // r15 plan dump showed the df aggregate + its exchange running
+      // twice); the hot HEAD is at most thousands of rows, and the
+      // cache collapses both arms onto one aggregation. Reclaimed by
+      // the callers' clearCache discipline (Bench/probes), like the
+      // signature persist the keys already carry.
+      val hot = banded0.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > capDf)
+        .select(col("band"), col("bkey"))
+        .persist()
+      banded0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))

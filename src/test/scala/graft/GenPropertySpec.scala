@@ -415,21 +415,22 @@ class GenPropertySpec extends AnyFunSuite {
   // hamming ≤ 2 pair set. Corpora plant near-dups by flipping 0–3 random
   // bits of shared base signatures (3-bit flips exercise the just-outside
   // boundary), plus independent random signatures for background mass.
+  private val simhashCorpusGen: Gen[List[Long]] = for {
+    nBase <- Gen.chooseNum(2, 5)
+    bases <- Gen.listOfN(nBase, Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(_ & ((1L << 62) - 1)))
+    variants <- Gen.listOfN(nBase, for {
+      nFlip <- Gen.chooseNum(0, 3)
+      bits <- Gen.listOfN(nFlip, Gen.chooseNum(0, 61))
+    } yield bits)
+    extra <- Gen.listOfN(4, Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(_ & ((1L << 62) - 1)))
+  } yield bases ++ bases.zip(variants).map { case (b, bits) =>
+    bits.foldLeft(b)((acc, i) => acc ^ (1L << i))
+  } ++ extra
+
   test("banded simhash pairs = exactly the hamming ≤ 2 pairs") {
-    val sigGen: Gen[List[Long]] = for {
-      nBase <- Gen.chooseNum(2, 5)
-      bases <- Gen.listOfN(nBase, Gen.chooseNum(Long.MinValue, Long.MaxValue)
-        .map(_ & ((1L << 62) - 1)))
-      variants <- Gen.listOfN(nBase, for {
-        nFlip <- Gen.chooseNum(0, 3)
-        bits <- Gen.listOfN(nFlip, Gen.chooseNum(0, 61))
-      } yield bits)
-      extra <- Gen.listOfN(4, Gen.chooseNum(Long.MinValue, Long.MaxValue)
-        .map(_ & ((1L << 62) - 1)))
-    } yield bases ++ bases.zip(variants).map { case (b, bits) =>
-      bits.foldLeft(b)((acc, i) => acc ^ (1L << i))
-    } ++ extra
-    forAll(sigGen) { sigs =>
+    forAll(simhashCorpusGen) { sigs =>
       import spark.implicits._
       val docs = sigs.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
       val want = (for {
@@ -447,6 +448,44 @@ class GenPropertySpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
         assert(got == want,
           s"banded pairs ≠ brute force at $bands×$width: " +
+            s"missing=${(want.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- want.keySet).take(5)}")
+      }
+    }
+  }
+
+  // The head-band-key df cap (r15 ×64 mitigation) has an EXACT loss
+  // characterization, not just a bound: a banded row is dropped iff its
+  // (band, key) group has df > cap, so a hamming ≤ 2 pair survives iff
+  // it retains at least one clean band (identical key in both docs)
+  // whose key is cold (df ≤ cap). This test pins that characterization
+  // brute-force — the output is EXACTLY {hamming ≤ 2 pairs with a cold
+  // clean band} — on the planted-flip corpora, tiny caps (1, 2) so the
+  // planted base groups actually go hot, across both shipped geometries.
+  // cap = 0 must stay byte-equal to the uncapped exact set (the Verify
+  // default: the driver key runs with the knob unset).
+  test("df-capped banded simhash = exactly the hamming ≤ 2 pairs with a cold clean band") {
+    forAll(simhashCorpusGen) { sigs =>
+      import spark.implicits._
+      val docs = sigs.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+      for ((bands, width) <- Seq((4, 16), (3, 20)); cap <- Seq(0L, 1L, 2L)) {
+        val mask = (1L << width) - 1
+        def key(sg: Long, b: Int): Long = (sg >>> (b * width)) & mask
+        val df: Map[(Int, Long), Int] = docs
+          .flatMap { case (_, sg) => (0 until bands).map(b => (b, key(sg, b))) }
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        val want = (for {
+          (a, sa) <- docs; (b, sb) <- docs if a < b
+          h = java.lang.Long.bitCount(sa ^ sb)
+          if h <= 2
+          if cap == 0L || (0 until bands).exists(bd =>
+            key(sa, bd) == key(sb, bd) && df((bd, key(sa, bd))) <= cap)
+        } yield (a, b) -> h.toLong).toMap
+        val got = operators.Dedup
+          .simhashBandPairs(docs.toDF("doc_id", "simhash"), bands, width, cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+        assert(got == want,
+          s"capped pairs ≠ characterization at $bands×$width cap=$cap: " +
             s"missing=${(want.keySet -- got.keySet).take(5)} " +
             s"extra=${(got.keySet -- want.keySet).take(5)}")
       }
