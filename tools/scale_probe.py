@@ -23,6 +23,12 @@ shuffles/joins/hashes grow with N, so the copies must not collide:
   measurable: that is exactly the documented sqrt(N) centroid-sizing
   caveat (SURVEY §7.6), and the probe quantifies what ignoring it costs.
 
+With a trailing `facts` argument, lineitem and orders are ALSO scaled
+by K (orderkey offset per copy keeps the orders<->lineitem join
+consistent; dim keys untouched, so dims stay fixed while facts grow) —
+the mode that lets the relational/TPC-H family run the same x16 gate
+and scaling probes the events/docs/embeddings families have.
+
 With a trailing `div` argument, labels are instead offset per copy
 (label + i*1000), K x-ing the label alphabet — the data-side half of the
 sqrt(N) rule. The fixture trainer folds LABELS into cells, so kept
@@ -44,19 +50,51 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def build(src: str, dest: str, k: int, div_labels: bool = False) -> None:
+def build(src: str, dest: str, k: int, div_labels: bool = False,
+          facts: bool = False) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
+    scaled = ("events", "documents", "embeddings") + (
+        ("lineitem", "orders") if facts else ())
     for t in TABLES:
         p = f"{src}/{t}.parquet"
         if not os.path.exists(p):
             continue
-        if t not in ("events", "documents", "embeddings"):
+        if t not in scaled:
             dp = f"{dest}/{t}.parquet"
             if os.path.isdir(p):
                 shutil.copytree(p, dp, dirs_exist_ok=True)
             else:
                 shutil.copyfile(p, dp)
+    if facts:
+        # `facts` mode (r15): scale the TPC-H fact tables too — orderkey
+        # offset per copy keeps the orders<->lineitem join consistent;
+        # dim keys (cust/part/supp) are NOT offset, so dims stay fixed
+        # while facts grow with K: the realistic cluster shape (fact
+        # growth dwarfs dim growth) and the one that stresses the
+        # fact-fact join and fact-side aggregation, not dim explosion.
+        # Prices are perturbed by a copy-unique sub-cent epsilon BELOW
+        # the oracles' 4-decimal rounding only where summed — left
+        # unperturbed: identical values across copies are exactly the
+        # tie-heavy shape a 100 TB corpus has, and any key whose output
+        # order is tie-ambiguous must already be deterministic (its
+        # oracle would diverge on the dup-saturated degen corpora
+        # otherwise).
+        parts = [
+            f"""
+            SELECT o_orderkey + {i}::BIGINT * 1000000000000 AS o_orderkey,
+                   o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM read_parquet('{src}/orders.parquet')""" for i in range(k)]
+        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/orders.parquet' (FORMAT PARQUET)")
+        parts = [
+            f"""
+            SELECT l_orderkey + {i}::BIGINT * 1000000000000 AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet')""" for i in range(k)]
+        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)")
     parts = [
         f"""
         SELECT event_id + {i}::BIGINT * 1000000000000 AS event_id,
@@ -82,11 +120,12 @@ def build(src: str, dest: str, k: int, div_labels: bool = False) -> None:
                {label_expr.format(i=i)} AS label
         FROM read_parquet('{src}/embeddings.parquet')""" for i in range(k)]
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)")
-    for t in ("events", "documents", "embeddings"):
+    for t in scaled:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dest}/{t}.parquet')").fetchone()[0]
         print(f"[scale_probe] {dest}/{t}.parquet: {n} rows")
 
 
 if __name__ == "__main__":
     src, dest, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    build(src, dest, k, div_labels=len(sys.argv) > 4 and sys.argv[4] == "div")
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
+    build(src, dest, k, div_labels=mode == "div", facts=mode == "facts")
