@@ -145,6 +145,23 @@ object Relational extends QueryModule {
     CASE WHEN isnan(value) THEN NULL
          ELSE CAST(least(greatest(floor(value / 10), -20.0), 19.0) AS BIGINT) END"""
 
+  // Money sums: EXACT INTEGER quantization to the 4-decimal output, and
+  // only then one int64→double cast + one power-of-ten double division —
+  // both correctly rounded in both engines on identical operands, so the
+  // outputs are bit-identical BY CONSTRUCTION at any corpus size the
+  // sums fit BIGINT (×64 facts uses ~2% of the range; headroom ~×3000).
+  // The previous form round(CAST(sum AS DOUBLE)/10^k, 4) diverged at the
+  // ×64-facts gate: at whole-table money magnitudes (~1.8e11) a double's
+  // ULP is ~0.3 of the 1e-4 round quantum, and DuckDB's multiply-based
+  // round(double, 4) disagrees with Spark's BigDecimal round whenever
+  // x·10⁴ lands within ~ULP/2 of a half-quantum — measured: the N/O
+  // sum_charge group, exact …572.5949, DuckDB …572.595 (adjudicated
+  // against exact rational arithmetic; BASELINE.md round-15). The
+  // sum_charge `+ 50 - (… % 100)` is half-up rounding of the cents³ sum
+  // to the 4-dp quantum in pure integer ops; base/disc price sums carry
+  // ≤ 4 fractional digits already, so their cast+divide is exact-input.
+  // avg_* keep round-on-double: at ~5e4 magnitude the ULP is 7 orders
+  // below the 1e-6 quantum — the boundary class needs giant magnitudes.
   private def tpchQ1Sql(table: String): String = s"""
     WITH b AS (
       SELECT l_returnflag, l_linestatus,
@@ -153,19 +170,26 @@ object Relational extends QueryModule {
              CAST(round(l_discount * 100) AS BIGINT) AS dc,
              CAST(round(l_tax * 100) AS BIGINT) AS tc
       FROM $table
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+    t AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(q AS DECIMAL(38,0))) AS BIGINT) AS sq,
+             CAST(sum(CAST(pc AS DECIMAL(38,0))) AS BIGINT) AS spc,
+             CAST(sum(CAST(dc AS DECIMAL(38,0))) AS BIGINT) AS sdc,
+             CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS BIGINT) AS sdp,
+             CAST(sum(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))) AS BIGINT) AS sch,
+             count(*) AS cnt
+      FROM b GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE), 4) AS sum_qty,
-           round(CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 4) AS sum_base_price,
-           round(CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 4)
-             AS sum_disc_price,
-           round(CAST(sum(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 4)
-             AS sum_charge,
-           round(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
-           round(CAST(sum(CAST(dc AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
-           count(*) AS count_order
-    FROM b GROUP BY l_returnflag, l_linestatus"""
+           CAST(sq AS DOUBLE) AS sum_qty,
+           CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sch + 50 - (sch + 50) % 100 AS DOUBLE) / 1000000.0 AS sum_charge,
+           round(CAST(sq AS DOUBLE) / cnt, 6) AS avg_qty,
+           round(CAST(spc AS DOUBLE) / cnt / 100.0, 6) AS avg_price,
+           round(CAST(sdc AS DOUBLE) / cnt / 100.0, 6) AS avg_disc,
+           cnt AS count_order
+    FROM t"""
 
   /** TPC-H Q5-shaped 5-way star join (region-filtered revenue by nation),
     * one SQL text for BOTH engines. Exercises ReorderJoin/CBO breadth:
