@@ -49,12 +49,21 @@ object Joins extends QueryModule {
     }),
 
     // Large-large sort-merge join on the shuffle key.
+    // Revenue in exact integer cents² (the r15 q1 recipe): this key's
+    // five priority groups each sum ~1/5 of the whole fact join — the
+    // next-nearest giant-magnitude money sum after agg_rollup/agg_cube
+    // in the r15 margin audit (ULP/quantum 1/128 at ×64, crossing at
+    // ~×256). Exact decimal sum → BIGINT → one cast + one /10000.0:
+    // engine-identical by construction.
     "join_smj_facts" -> ((s, d) => {
       lineitem(s, d)
         .join(orders(s, d).hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          (sum((round(col("l_extendedprice") * 100).cast("bigint")
+            * (lit(100) - round(col("l_discount") * 100).cast("bigint")))
+            .cast("decimal(38,0)")).cast("bigint").cast("double") / 10000.0)
+            .as("revenue"))
     }),
 
     // Same join, shuffled-hash strategy (no sort; build side hashed).
@@ -323,7 +332,9 @@ object Joins extends QueryModule {
 
     "join_smj_facts" -> """
       SELECT o_orderpriority, count(*) AS n_lines,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE)
+               / 10000.0 AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

@@ -1057,17 +1057,33 @@ object Relational extends QueryModule {
             && col("le99") >= col("np") * 0.98 - 1)).as("q99_in_rank_tol"))
     }),
 
+    // Money sums in EXACT INTEGER CENTS (the q1 recipe, r15): these two
+    // keys' grand-total/marginal cells sum the WHOLE fact table, and at
+    // ×64 facts their double partial-sum noise crossed the r2 round
+    // quantum (ULP/quantum ≈ 1/32 — the round-15 margin audit projected
+    // it and the ×64f gate confirmed: 4 differing cells each, all the
+    // giant-magnitude ones). Exact decimal sum → BIGINT → one
+    // int64→double cast + one /100.0: bit-identical across engines by
+    // construction wherever the cents sum fits BIGINT (×64f uses ~2e14
+    // of 9.2e18). Quantity sums are exact integers the same way.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint").cast("decimal(38,0)"))
+            .cast("bigint").cast("double").as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("bigint")
+            .cast("decimal(38,0)")).cast("bigint").cast("double") / 100.0)
+            .as("sum_price"))
     }),
 
     "agg_cube" -> ((s, d) => {
       orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("bigint")
+            .cast("decimal(38,0)")).cast("bigint").cast("double") / 100.0)
+            .as("sum_price"))
     }),
 
     "agg_grouping_sets" -> ((s, d) => {
@@ -1548,8 +1564,9 @@ object Relational extends QueryModule {
 
     "agg_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-             round(sum(l_quantity), 4) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
+             CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 100.0 AS sum_price
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       HAVING count(*) > 0
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -1557,7 +1574,8 @@ object Relational extends QueryModule {
 
     "agg_cube" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice), 2) AS sum_price
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 100.0 AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       HAVING count(*) > 0
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
