@@ -1064,16 +1064,23 @@ object Relational extends QueryModule {
     // it and the ×64f gate confirmed: 4 differing cells each, all the
     // giant-magnitude ones). Exact decimal sum → BIGINT → one
     // int64→double cast + one /100.0: bit-identical across engines by
-    // construction wherever the cents sum fits BIGINT (×64f uses ~2e14
-    // of 9.2e18). Quantity sums are exact integers the same way.
+    // construction. DECIMAL(8,0), not (38,0): Catalyst's
+    // DecimalAggregates rewrite (p + 10 ≤ 18) runs the sum as unscaled
+    // longs — the (38,0) first cut took Spark's slow 16-byte decimal
+    // path and tripled the key's wall through rollup's Expand (flagged
+    // by the closing bench, 1.25 s vs 0.33 pin; (8,0) restored it).
+    // Domain bound, not scale bound: 8 digits = cents of $999,999.99
+    // per ROW (fixture max $105k/$500k) — a wider row nulls the cast
+    // and the cross-engine gate fails LOUD (oracle sums BIGINT); the
+    // SUM itself is decimal(18,0), overflow-safe to ~×4500 facts.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("bigint").cast("decimal(38,0)"))
+          sum(col("l_quantity").cast("bigint").cast("decimal(8,0)"))
             .cast("bigint").cast("double").as("sum_qty"),
           (sum(round(col("l_extendedprice") * 100).cast("bigint")
-            .cast("decimal(38,0)")).cast("bigint").cast("double") / 100.0)
+            .cast("decimal(8,0)")).cast("bigint").cast("double") / 100.0)
             .as("sum_price"))
     }),
 
@@ -1082,7 +1089,7 @@ object Relational extends QueryModule {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           (sum(round(col("o_totalprice") * 100).cast("bigint")
-            .cast("decimal(38,0)")).cast("bigint").cast("double") / 100.0)
+            .cast("decimal(8,0)")).cast("bigint").cast("double") / 100.0)
             .as("sum_price"))
     }),
 
