@@ -357,10 +357,15 @@ object Dedup extends QueryModule {
     // and the hamming confirm scans) and confirmed hamming ≤ 2 pairs —
     // the same two-number shape as the minhash row above, measured on
     // the key's exact stages.
+    // The cap is passed EXPLICITLY and identically to both calls (r15
+    // ADVICE): band rows and confirmed pairs must measure ONE pipeline —
+    // the live-knob one — or the two-number join-volume/recall shape is
+    // internally inconsistent (rows uncapped while pairs capped).
     val shSig = simhashDS(s, dir).persist()
-    val shRows =
-      simhashBandedCands(shSig, SimhashBands, SimhashBandBits).count()
-    val shPairs = simhashBandPairs(shSig).count()
+    val shRows = simhashBandedCands(shSig, SimhashBands, SimhashBandBits,
+      SimhashBandDfCap.toLong).count()
+    val shPairs = simhashBandPairs(shSig, SimhashBands, SimhashBandBits,
+      SimhashBandDfCap.toLong).count()
     Map("n_docs" -> d.count(), "full_index_pairs" -> fullIdx,
       "prefix_pairs" -> prefix, "prefix_capped_pairs" -> prefixCapped,
       "minhash_band_rows" -> mhRows, "minhash_pairs" -> mhPairs,

@@ -49,21 +49,21 @@ object Joins extends QueryModule {
     }),
 
     // Large-large sort-merge join on the shuffle key.
-    // Revenue in exact integer cents² (the r15 q1 recipe): this key's
-    // five priority groups each sum ~1/5 of the whole fact join — the
-    // next-nearest giant-magnitude money sum after agg_rollup/agg_cube
-    // in the r15 margin audit (ULP/quantum 1/128 at ×64, crossing at
-    // ~×256). Exact decimal sum → BIGINT → one cast + one /10000.0:
-    // engine-identical by construction.
+    // Revenue in exact integer cents² (the ExactMoney recipe): this
+    // key's five priority groups each sum ~1/5 of the whole fact join —
+    // the next-nearest giant-magnitude money sum after
+    // agg_rollup/agg_cube in the r15 margin audit (ULP/quantum 1/128 at
+    // ×64, crossing at ~×256). rowPrec 38, not the ≤8 fast path: the
+    // cents×cents-complement product rows carry ~10 digits.
     "join_smj_facts" -> ((s, d) => {
       lineitem(s, d)
         .join(orders(s, d).hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          (sum((round(col("l_extendedprice") * 100).cast("bigint")
-            * (lit(100) - round(col("l_discount") * 100).cast("bigint")))
-            .cast("decimal(38,0)")).cast("bigint").cast("double") / 10000.0)
-            .as("revenue"))
+          ExactMoney.exactSum(
+            ExactMoney.units(col("l_extendedprice"), 2)
+              * (lit(100) - ExactMoney.units(col("l_discount"), 2)),
+            38, 4).as("revenue"))
     }),
 
     // Same join, shuffled-hash strategy (no sort; build side hashed).
@@ -330,11 +330,14 @@ object Joins extends QueryModule {
       GROUP BY r_name, n_name ORDER BY r_name, n_name
     """,
 
-    "join_smj_facts" -> """
+    // Revenue via the ExactMoney SQL side — the same helper the
+    // DataFrame builder calls (r15 VERDICT task 3).
+    "join_smj_facts" -> s"""
       SELECT o_orderpriority, count(*) AS n_lines,
-             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE)
-               / 10000.0 AS revenue
+             ${ExactMoney.exactSumSql(
+               s"${ExactMoney.unitsSql("l_extendedprice", 2)}" +
+                 s" * (100 - ${ExactMoney.unitsSql("l_discount", 2)})",
+               38, 4)} AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

@@ -145,51 +145,52 @@ object Relational extends QueryModule {
     CASE WHEN isnan(value) THEN NULL
          ELSE CAST(least(greatest(floor(value / 10), -20.0), 19.0) AS BIGINT) END"""
 
-  // Money sums: EXACT INTEGER quantization to the 4-decimal output, and
-  // only then one int64→double cast + one power-of-ten double division —
-  // both correctly rounded in both engines on identical operands, so the
-  // outputs are bit-identical BY CONSTRUCTION at any corpus size the
-  // sums fit BIGINT (×64 facts uses ~2% of the range; headroom ~×3000).
-  // The previous form round(CAST(sum AS DOUBLE)/10^k, 4) diverged at the
-  // ×64-facts gate: at whole-table money magnitudes (~1.8e11) a double's
-  // ULP is ~0.3 of the 1e-4 round quantum, and DuckDB's multiply-based
-  // round(double, 4) disagrees with Spark's BigDecimal round whenever
-  // x·10⁴ lands within ~ULP/2 of a half-quantum — measured: the N/O
-  // sum_charge group, exact …572.5949, DuckDB …572.595 (adjudicated
-  // against exact rational arithmetic; BASELINE.md round-15). The
-  // sum_charge `+ 50 - (… % 100)` is half-up rounding of the cents³ sum
-  // to the 4-dp quantum in pure integer ops; base/disc price sums carry
-  // ≤ 4 fractional digits already, so their cast+divide is exact-input.
-  // avg_* keep round-on-double: at ~5e4 magnitude the ULP is 7 orders
-  // below the 1e-6 quantum — the boundary class needs giant magnitudes.
-  private def tpchQ1Sql(table: String): String = s"""
+  // Money sums: the ExactMoney recipe — EXACT INTEGER quantization to
+  // the output quantum, exact decimal sum, then one int64→double cast +
+  // one power-of-ten division, bit-identical across engines by
+  // construction (divergence history, headroom argument, and the
+  // precision-choice rule live in ExactMoney's scaladoc; the r15
+  // adjudication in BASELINE.md round-15). Q1 specifics: the sum_charge
+  // half-up quantize of the cents³ sum to the 4-dp output drops 2 digits
+  // via the SIGN-SAFE integer form (halfUpDropSql — ties toward +∞,
+  // correct for credits/refunds too, identical to the old non-negative
+  // form on this corpus); base/disc price sums carry ≤ 4 fractional
+  // digits already, so their render is exact-input. avg_* keep
+  // round-on-double: at ~5e4 magnitude the ULP is 7 orders below the
+  // 1e-6 quantum — the boundary class needs giant magnitudes. rowPrec 38
+  // (not the ≤8 fast path): the cents³ product rows carry ~11 digits, so
+  // DecimalAggregates can't run these as unscaled longs at any precision.
+  private def tpchQ1Sql(table: String): String = {
+    import ExactMoney._
+    s"""
     WITH b AS (
       SELECT l_returnflag, l_linestatus,
-             CAST(l_quantity AS BIGINT) AS q,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
-             CAST(round(l_discount * 100) AS BIGINT) AS dc,
-             CAST(round(l_tax * 100) AS BIGINT) AS tc
+             ${unitsSql("l_quantity", 0)} AS q,
+             ${unitsSql("l_extendedprice", 2)} AS pc,
+             ${unitsSql("l_discount", 2)} AS dc,
+             ${unitsSql("l_tax", 2)} AS tc
       FROM $table
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
     t AS (
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(q AS DECIMAL(38,0))) AS BIGINT) AS sq,
-             CAST(sum(CAST(pc AS DECIMAL(38,0))) AS BIGINT) AS spc,
-             CAST(sum(CAST(dc AS DECIMAL(38,0))) AS BIGINT) AS sdc,
-             CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS BIGINT) AS sdp,
-             CAST(sum(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))) AS BIGINT) AS sch,
+             ${sumUnitsSql("q", 38)} AS sq,
+             ${sumUnitsSql("pc", 38)} AS spc,
+             ${sumUnitsSql("dc", 38)} AS sdc,
+             ${sumUnitsSql("pc * (100 - dc)", 38)} AS sdp,
+             ${sumUnitsSql("pc * (100 - dc) * (100 + tc)", 38)} AS sch,
              count(*) AS cnt
       FROM b GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus,
-           CAST(sq AS DOUBLE) AS sum_qty,
-           CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
-           CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
-           CAST(sch + 50 - (sch + 50) % 100 AS DOUBLE) / 1000000.0 AS sum_charge,
+           ${toDollarsSql("sq", 0)} AS sum_qty,
+           ${toDollarsSql("spc", 2)} AS sum_base_price,
+           ${toDollarsSql("sdp", 4)} AS sum_disc_price,
+           ${toDollarsSql(halfUpDropSql("sch", 2), 6)} AS sum_charge,
            round(CAST(sq AS DOUBLE) / cnt, 6) AS avg_qty,
            round(CAST(spc AS DOUBLE) / cnt / 100.0, 6) AS avg_price,
            round(CAST(sdc AS DOUBLE) / cnt / 100.0, 6) AS avg_disc,
            cnt AS count_order
     FROM t"""
+  }
 
   /** TPC-H Q5-shaped 5-way star join (region-filtered revenue by nation),
     * one SQL text for BOTH engines. Exercises ReorderJoin/CBO breadth:
@@ -210,8 +211,8 @@ object Relational extends QueryModule {
                         supplier: String, nation: String, region: String): String = s"""
     WITH b AS (
       SELECT n_name,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
-             CAST(round(l_discount * 100) AS BIGINT) AS dc
+             ${ExactMoney.unitsSql("l_extendedprice", 2)} AS pc,
+             ${ExactMoney.unitsSql("l_discount", 2)} AS dc
       FROM $customer
            JOIN $orders   ON c_custkey = o_custkey
            JOIN $lineitem ON l_orderkey = o_orderkey
@@ -223,8 +224,7 @@ object Relational extends QueryModule {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
     SELECT n_name,
-           round(CAST(sum(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 4)
-             AS revenue,
+           ${ExactMoney.exactSumSql("pc * (100 - dc)", 38, 4)} AS revenue,
            count(*) AS n_items
     FROM b GROUP BY n_name"""
 
@@ -1057,30 +1057,30 @@ object Relational extends QueryModule {
             && col("le99") >= col("np") * 0.98 - 1)).as("q99_in_rank_tol"))
     }),
 
-    // Money sums in EXACT INTEGER CENTS (the q1 recipe, r15): these two
-    // keys' grand-total/marginal cells sum the WHOLE fact table, and at
-    // ×64 facts their double partial-sum noise crossed the r2 round
+    // Money sums in EXACT INTEGER CENTS (the ExactMoney recipe): these
+    // two keys' grand-total/marginal cells sum the WHOLE fact table, and
+    // at ×64 facts their double partial-sum noise crossed the r2 round
     // quantum (ULP/quantum ≈ 1/32 — the round-15 margin audit projected
     // it and the ×64f gate confirmed: 4 differing cells each, all the
-    // giant-magnitude ones). Exact decimal sum → BIGINT → one
-    // int64→double cast + one /100.0: bit-identical across engines by
-    // construction. DECIMAL(8,0), not (38,0): Catalyst's
-    // DecimalAggregates rewrite (p + 10 ≤ 18) runs the sum as unscaled
-    // longs — the (38,0) first cut took Spark's slow 16-byte decimal
-    // path and tripled the key's wall through rollup's Expand (flagged
-    // by the closing bench, 1.25 s vs 0.33 pin; (8,0) restored it).
+    // giant-magnitude ones). rowPrec 8 is the DecimalAggregates
+    // unscaled-long fast path (the (38,0) first cut tripled the key's
+    // wall through rollup's 3× Expand — see ExactMoney's scaladoc).
     // Domain bound, not scale bound: 8 digits = cents of $999,999.99
-    // per ROW (fixture max $105k/$500k) — a wider row nulls the cast
-    // and the cross-engine gate fails LOUD (oracle sums BIGINT); the
-    // SUM itself is decimal(18,0), overflow-safe to ~×4500 facts.
+    // per ROW (fixture max $105k/$500k) — a wider row throws
+    // CAST_OVERFLOW under ANSI in Spark and a conversion error in
+    // DuckDB, never a silently-wrong sum; the SUM itself is
+    // decimal(18,0), overflow-safe to ~×4500 facts. sum_qty rounds
+    // BEFORE the BIGINT cast (ExactMoney.units d=0) so the
+    // double→integer semantics are engine-identical even on a future
+    // non-integral quantity (r15 ADVICE — Spark's bare cast truncates,
+    // DuckDB's rounds).
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("bigint").cast("decimal(8,0)"))
-            .cast("bigint").cast("double").as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("bigint")
-            .cast("decimal(8,0)")).cast("bigint").cast("double") / 100.0)
+          ExactMoney.exactSum(ExactMoney.units(col("l_quantity"), 0), 8, 0)
+            .as("sum_qty"),
+          ExactMoney.exactSum(ExactMoney.units(col("l_extendedprice"), 2), 8, 2)
             .as("sum_price"))
     }),
 
@@ -1088,8 +1088,7 @@ object Relational extends QueryModule {
       orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("o_totalprice") * 100).cast("bigint")
-            .cast("decimal(8,0)")).cast("bigint").cast("double") / 100.0)
+          ExactMoney.exactSum(ExactMoney.units(col("o_totalprice"), 2), 8, 2)
             .as("sum_price"))
     }),
 
@@ -1569,20 +1568,21 @@ object Relational extends QueryModule {
       FROM c GROUP BY event_type ORDER BY event_type
     """,
 
-    "agg_rollup" -> """
+    // Money columns via the ExactMoney SQL side — SAME helper the
+    // DataFrame builders call, so product and oracle cannot drift apart
+    // on the recipe (r15 VERDICT task 3).
+    "agg_rollup" -> s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-             CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
-             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
-               / 100.0 AS sum_price
+             ${ExactMoney.exactSumSql(ExactMoney.unitsSql("l_quantity", 0), 8, 0)} AS sum_qty,
+             ${ExactMoney.exactSumSql(ExactMoney.unitsSql("l_extendedprice", 2), 8, 2)} AS sum_price
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       HAVING count(*) > 0
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 
-    "agg_cube" -> """
+    "agg_cube" -> s"""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
-               / 100.0 AS sum_price
+             ${ExactMoney.exactSumSql(ExactMoney.unitsSql("o_totalprice", 2), 8, 2)} AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       HAVING count(*) > 0
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST

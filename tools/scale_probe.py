@@ -73,13 +73,11 @@ def build(src: str, dest: str, k: int, div_labels: bool = False,
         # while facts grow with K: the realistic cluster shape (fact
         # growth dwarfs dim growth) and the one that stresses the
         # fact-fact join and fact-side aggregation, not dim explosion.
-        # Prices are perturbed by a copy-unique sub-cent epsilon BELOW
-        # the oracles' 4-decimal rounding only where summed — left
-        # unperturbed: identical values across copies are exactly the
-        # tie-heavy shape a 100 TB corpus has, and any key whose output
-        # order is tie-ambiguous must already be deterministic (its
-        # oracle would diverge on the dup-saturated degen corpora
-        # otherwise).
+        # Prices are deliberately NOT perturbed: identical values across
+        # copies are exactly the tie-heavy shape a 100 TB corpus has, and
+        # any key whose output order is tie-ambiguous must already be
+        # deterministic (its oracle would diverge on the dup-saturated
+        # degen corpora otherwise).
         parts = [
             f"""
             SELECT o_orderkey + {i}::BIGINT * 1000000000000 AS o_orderkey,
