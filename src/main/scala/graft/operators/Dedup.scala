@@ -632,6 +632,34 @@ object Dedup extends QueryModule {
     * exactness-preserving: leave it 0 under Verify (the oracle computes
     * the uncapped pair set). Measured loss at ×64 is in BASELINE.md
     * next to the band-row cuts.
+    *
+    * CLUSTER SIZING RULE (r15 VERDICT task 6 — the 100 TB deployment
+    * answer, mirroring the r14 width rule). Order of operations: run
+    * exact/normalized dedup first (saturation pathology), size width
+    * per the log₂N + 4 rule, THEN set the cap as insurance against the
+    * natural-text correlated-bit head the width rule cannot reach:
+    *
+    *   cap ≈ N/100 … N/30 of the per-shard doc count N
+    *   (the shipped ×64 measurement: N = 320 000, cap = 10 000 = N/32
+    *   removed the one df ≈ 12 700 hot key — ~81 M of 596 M join rows —
+    *   with ZERO recall loss; cap = 1 000 = N/320 cost 8.1%).
+    *
+    * Why that window works at any scale: a band key with df > N/100 is
+    * shared by > 1% of the shard — after exact dedup no genuine
+    * near-dup cluster is that large, so the cap binds only on the
+    * low-entropy crowd patterns whose pairs the hamming confirm would
+    * reject ~always anyway. Two a-priori bounds a deployer can hold on
+    * to, both linear in N for a df-proportional cap:
+    *   - broadcast: |hot| ≤ N·bands/cap (pigeonhole over N·bands banded
+    *     rows) — at cap = N/100 that is ≤ 100·bands keys, trivially
+    *     broadcastable at any corpus size;
+    *   - join volume: post-cap candidate rows = Σ_cold df² ≤ cap·N·bands
+    *     — the cap converts the quadratic band-join term to LINEAR in N
+    *     by construction, not just empirically.
+    * The cap is per-shard arithmetic (a groupBy over the shard's banded
+    * rows), so sharded corpora apply it independently per shard with
+    * the same N-relative window. Default stays 0 (exact) — driver and
+    * oracle runs never set it.
     */
   private[graft] val SimhashBandDfCap: Int =
     graft.T.envInt("SPARK_GRAFT_SIMHASH_BAND_DF_CAP", 0,
