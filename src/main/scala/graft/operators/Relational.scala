@@ -1074,22 +1074,28 @@ object Relational extends QueryModule {
     // double→integer semantics are engine-identical even on a future
     // non-integral quantity (r15 ADVICE — Spark's bare cast truncates,
     // DuckDB's rounds).
+    // The units() quantize is HOISTED into a pre-rollup projection so the
+    // per-row round/cast runs once per input row, below the Expand —
+    // inside exactSum it sits in the aggregate's input expressions,
+    // which evaluate per EXPANDED row (3x/4x for rollup/cube).
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          ExactMoney.units(col("l_quantity"), 0).as("qu"),
+          ExactMoney.units(col("l_extendedprice"), 2).as("pu"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          ExactMoney.exactSum(ExactMoney.units(col("l_quantity"), 0), 8, 0)
-            .as("sum_qty"),
-          ExactMoney.exactSum(ExactMoney.units(col("l_extendedprice"), 2), 8, 2)
-            .as("sum_price"))
+          ExactMoney.exactSum(col("qu"), 8, 0).as("sum_qty"),
+          ExactMoney.exactSum(col("pu"), 8, 2).as("sum_price"))
     }),
 
     "agg_cube" -> ((s, d) => {
       orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          ExactMoney.units(col("o_totalprice"), 2).as("pu"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          ExactMoney.exactSum(ExactMoney.units(col("o_totalprice"), 2), 8, 2)
-            .as("sum_price"))
+          ExactMoney.exactSum(col("pu"), 8, 2).as("sum_price"))
     }),
 
     "agg_grouping_sets" -> ((s, d) => {
