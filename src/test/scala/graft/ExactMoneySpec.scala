@@ -94,6 +94,33 @@ class ExactMoneySpec extends AnyFunSuite {
       s"agg_rollup lost the unscaled-long decimal-sum rewrite:\n$p")
   }
 
+  test("rollup/cube quantize is hoisted BELOW the Expand (evaluated once " +
+    "per input row, not per expanded row)") {
+    // The perf contract of the r16 hoist: inside exactSum the units()
+    // round/cast sat in the aggregate's input expressions, which
+    // rollup/cube evaluate per EXPANDED row (3x/4x) — measured ~22% of
+    // the key's wall. The hoist projects integer `qu`/`pu` columns
+    // before .rollup, so ExpandExec's child must already OUTPUT them;
+    // inlining the quantize back would make them vanish from the
+    // Expand input and this test fails before the bench does.
+    // String-form check (AQE's executedPlan wrapper hides the tree from
+    // collect() until materialized; count() finalizes, toString renders
+    // the final plan like PlanSpec does).
+    for ((key, cols) <- Seq("agg_rollup" -> Seq("qu#", "pu#"),
+                            "agg_cube" -> Seq("pu#"))) {
+      val df = SparkEntry.queries(key)(spark, sf)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      val expandLine = p.linesIterator.find(_.contains("Expand"))
+      assert(expandLine.nonEmpty, s"$key lost its Expand (rollup/cube shape):\n$p")
+      cols.foreach { c =>
+        assert(expandLine.get.contains(c),
+          s"$key: quantized column '$c' not in the Expand input — the " +
+            s"units() hoist regressed back into the aggregate:\n${expandLine.get}")
+      }
+    }
+  }
+
   test("halfUpDropSql is sign-safe: floor((x+h)/q)*q for either sign " +
     "(ties toward +inf), not the non-negative-only naive form") {
     val xs = Seq(-250L, -201L, -200L, -199L, -151L, -150L, -149L, -101L,
