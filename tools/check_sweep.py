@@ -42,9 +42,18 @@ def main():
     oracle_path = os.path.join(outdir, "oracle_sql.json")
     keys = sorted(k for k in os.listdir(outdir)
                   if os.path.isdir(os.path.join(outdir, k)))
+    # Declared-but-missing keys are FAILURES, not silent skips (r16
+    # ADVICE): a key whose Spark side crashed produces no result dir, so
+    # sweeping only the dirs present would exit 0 where a full check.py
+    # run prints 'FAIL <key>: declared oracle but no Spark output'.
+    declared = sorted(json.load(open(oracle_path)))
+    missing = [k for k in declared if k not in keys]
     if only is not None:
         keys = [k for k in keys if k in only]
-    n_pass, failed, timed_out = 0, [], []
+        missing = [k for k in missing if k in only]
+    n_pass, failed, timed_out = 0, list(missing), []
+    for k in missing:
+        print(f"FAIL {k}: declared oracle but no Spark output", flush=True)
     for k in keys:
         w = tempfile.mkdtemp(prefix=f"check_sweep_{k}_")
         try:
@@ -62,9 +71,14 @@ def main():
                 continue
             # check.py also prints a FAIL line for every DECLARED oracle
             # with no result dir in the temp outdir — only this key's
-            # verdict line is meaningful.
+            # verdict line is meaningful. Match WITH the ': ' separator
+            # (check.py always emits it): key names with prefix
+            # collisions exist (sql_tpch_q1/q11, fn_map/fn_map_hof, ...),
+            # so a bare-prefix match could latch onto another key's
+            # missing-dir FAIL line if this key's own line were ever
+            # non-PASS/FAIL (r16 ADVICE).
             line = next((ln for ln in r.stdout.splitlines()
-                         if ln.startswith(f"PASS {k}") or ln.startswith(f"FAIL {k}")),
+                         if ln.startswith(f"PASS {k}:") or ln.startswith(f"FAIL {k}:")),
                         f"FAIL {k}: no verdict line")
             print(line, flush=True)
             if line.startswith("PASS "):
@@ -73,13 +87,14 @@ def main():
                 failed.append(k)
         finally:
             shutil.rmtree(w, ignore_errors=True)
+    total = len(keys) + len(missing)
     print(f"\n== sweep: {n_pass} pass, {len(failed)} fail, "
-          f"{len(timed_out)} timeout of {len(keys)} ==")
+          f"{len(timed_out)} timeout of {total} ==")
     if failed:
         print("failed:", " ".join(failed))
     if timed_out:
         print("timed out:", " ".join(timed_out))
-    sys.exit(0 if n_pass == len(keys) else 1)
+    sys.exit(0 if n_pass == total else 1)
 
 
 if __name__ == "__main__":
