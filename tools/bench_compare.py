@@ -200,6 +200,17 @@ def main() -> None:
     print(f"[bench_compare] {full_path}: total {total_cur} s over "
           f"{len(cur)} keys; baseline sum-of-medians "
           f"{base['total_of_medians']} s over {len(base['keys'])} keys")
+    # Load calibration stamp (r16 verdict task 4): Bench times a fixed
+    # single-threaded spin at sweep start and end; vs the pinned quiet
+    # reference this reads ambient box load mechanically. Evidence only —
+    # the flag CLASSIFICATION stays control-key/arbiter-based.
+    cal = full.get("load_cal")
+    if cal:
+        q = cal.get("quiet_ref_ms") or 50
+        print(f"[bench_compare] load calibration: fixed-work spin "
+              f"{cal['start_ms']:.0f} ms at start / {cal['end_ms']:.0f} ms at "
+              f"end vs quiet ref {q} ms -> load factor "
+              f"{cal['start_ms'] / q:.2f}x / {cal['end_ms'] / q:.2f}x")
     if new:
         print(f"[bench_compare] keys not in baseline (re-pin after adding): {new}")
     if missing:
