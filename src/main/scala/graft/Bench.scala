@@ -1,29 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // Load calibration (r16 verdict task 4): a FIXED amount of single-
-  // threaded CPU work — the same fp recurrence tools/burst_rehearsal.py's
-  // load threads spin — timed at bench start and end and stamped into
-  // bench_full.json next to synthetic_sleep. On a quiet box the fixed
-  // work takes a near-constant wall time (~50 ms, pinned in BASELINE.md);
-  // under the box-wide contention that inflated the r14/r16 driver runs
-  // the runnable-thread queue displaces the spin and the SAME work takes
-  // proportionally longer (48 extra runnables on 32 cores ≈ 1.5×). The
-  // two samples bracket the sweep, so driver-run adjudication starts
-  // from a mechanical in-artifact load reading instead of forensic
-  // per-key pattern matching. Median-of-3 after 3 untimed JIT warm-ups —
-  // a start-of-JVM single draw would time the interpreter, not the box.
+  // Load calibration (r16 verdict task 4): a FIXED amount of CPU work —
+  // the same fp recurrence tools/burst_rehearsal.py's load threads spin,
+  // run on N PARALLEL THREADS (N = the bench's executor width) — timed
+  // at bench start and end and stamped into bench_full.json next to
+  // synthetic_sleep. On a quiet box the parallel fixed work takes a
+  // near-constant wall (~50 ms at 32 threads on 32 cores, pinned in
+  // BASELINE.md); under the box-wide contention that inflated the
+  // r14/r16 driver runs the SAME work takes proportionally longer. The
+  // spin must be N-wide, not single-threaded: Linux autogrouping gives
+  // each session ONE collective scheduler share, so a lone spin thread
+  // inside the bench JVM's group fits the group's share and reads ~1.0×
+  // even while a 48-process external burst squeezes the 32-thread Spark
+  // stages to half the machine (measured r17: single-thread spin 50 ms
+  // under a full burst whose sweep ran 42 keys over band; the 32-wide
+  // spin is displaced exactly like the stages it vouches for). The two
+  // samples bracket the sweep, so driver-run adjudication starts from a
+  // mechanical in-artifact load reading instead of forensic per-key
+  // pattern matching. Median-of-3 after 3 untimed JIT warm-ups — a
+  // start-of-JVM single draw would time the interpreter, not the box.
   private val SpinIters = 20000000
-  def spinCalMs(): Double = {
+  def spinCalMs(nThreads: Int): Double = {
     def once(): Double = {
-      var x = 1.0
-      var i = 0
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to nThreads).map { _ =>
+        val t = new Thread(() => {
+          gate.await()
+          var x = 1.0
+          var i = 0
+          while (i < SpinIters) { x = x * 1.0000001 + 1e-9; i += 1 }
+          // Keep x observable so the JIT cannot elide the loop.
+          if (java.lang.Double.isNaN(x)) System.err.println("unreachable")
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
       val t0 = System.nanoTime()
-      while (i < SpinIters) { x = x * 1.0000001 + 1e-9; i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e6
-      // Keep x observable so the JIT cannot elide the loop.
-      if (java.lang.Double.isNaN(x)) System.err.println("unreachable")
-      dt
+      gate.countDown()
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
     }
     (1 to 3).foreach(_ => once())
     val ts = (1 to 3).map(_ => once()).sorted
@@ -36,7 +53,7 @@ object Bench {
     // driver never sets it, so driver benches always time the full map.
     val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
       .map(_.split(",").map(_.trim).toSet)
-    val calStartMs = spinCalMs()
+    val calStartMs = spinCalMs(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -360,7 +377,7 @@ object Bench {
     }
     // Closing calibration sample: AFTER the sweep and both re-measure
     // passes, so start/end bracket every timed window the artifact holds.
-    val calEndMs = spinCalMs()
+    val calEndMs = spinCalMs(cpus.toInt)
     val results = samples.map { case (k, ss) => k -> bestOf(k, ss) }.toMap
     // Keys STILL over the flag threshold after both passes: the stdout
     // line's self-diagnosis (r10 verdict task 2 / r11 task 1).
@@ -444,7 +461,7 @@ object Bench {
     // times bracketing the run. quiet_ref_ms is the pinned quiet-box
     // value (BASELINE.md r17) so a reader can ratio without hunting.
     val calJson =
-      s"""  "load_cal": {"start_ms": ${f(calStartMs)}, "end_ms": ${f(calEndMs)}, "iters": $SpinIters, "quiet_ref_ms": 50},\n"""
+      s"""  "load_cal": {"start_ms": ${f(calStartMs)}, "end_ms": ${f(calEndMs)}, "iters": $SpinIters, "threads": $cpus, "quiet_ref_ms": 55},\n"""
     // Wall-clock stamp: tools/bench_compare.py compares it against
     // bench_baseline_isolated.json's to require the isolated arbiter to
     // POSTDATE the run it vouches for.
