@@ -94,12 +94,19 @@ def main() -> None:
             "runs": mins,
         }
     totals = [round(sum(r["keys"][k]["min"] for k in keys), 2) for r in runs]
+    # Per-run load-calibration stamps (Bench >= r17): the pin protocol's
+    # "quiet box verified" clause becomes mechanical — a pin whose runs
+    # stamp >~1.3x the quiet reference was taken on a loaded box and
+    # should be discarded, exactly like the r16 contended-middle-run
+    # re-pin, without needing the per-run-totals forensics.
+    cals = [r.get("load_cal") for r in runs]
     out = {
         "n_runs": n,
         "sf": runs[0]["sf"],
         "cpus": runs[0]["cpus"],
         "generated_at": int(time.time()),
         "per_run_totals": totals,
+        "per_run_load_cal": cals,
         "total_of_medians": round(sum(v["median"] for v in rec.values()), 2),
         "keys": rec,
     }
@@ -136,6 +143,14 @@ def main() -> None:
     print(f"[bench_baseline] wrote {path}")
     print(f"[bench_baseline] per-run totals: {totals}; "
           f"sum of per-key medians: {out['total_of_medians']}")
+    for i, c in enumerate(cals):
+        if c:
+            q = c.get("quiet_ref_ms") or 55
+            print(f"[bench_baseline] run {i + 1} load_cal: "
+                  f"{c['start_ms']:.0f}/{c['end_ms']:.0f} ms "
+                  f"({c['start_ms'] / q:.2f}x/{c['end_ms'] / q:.2f}x quiet ref)"
+                  + ("  <- LOADED BOX, discard this pin attempt"
+                     if max(c['start_ms'], c['end_ms']) / q > 1.3 else ""))
     if keys_filter:
         print(f"[bench_baseline] control ratios vs full-inventory pins: "
               f"{out['control_ratios']} (central "
