@@ -31,6 +31,7 @@ a binary order of magnitude on each side.
 
 Usage:
   python3 tools/margin_audit.py <verifyOutDir> [dumpScale] [threshold]
+  python3 tools/margin_audit.py --selftest   # resolver agreement cases
 
 dumpScale = the dump's corpus scale in x-facts units relative to sf0.1
 (sf0.01 dump = 0.1, sf0.1 = 1, x4f = 4, x16f = 16; default 0.1 — the
@@ -39,11 +40,17 @@ Checklist wiring: run on the sf0.01 Verify dump every final gate
 (`python3 tools/margin_audit.py /tmp/vout 0.1`); re-run on a x16f dump
 when a money/rounded column changes (projection then needs only x4).
 
-Grows-with-scale detection (r16 ADVICE): lexical `sum(` inside the
-rounded expression, PLUS alias resolution for the false-PASS direction —
-a `round(<alias>, k)` where <alias> is defined elsewhere in the SQL as
-`sum(...) [arith] AS <alias>` (CTE/subquery) is treated as growing, so
-the exact pattern the old q1 used cannot dodge the x64 projection.
+Grows-with-scale detection (r16 ADVICE, resolver rewritten per r17
+ADVICE): lexical `sum(` inside the rounded expression, PLUS alias
+resolution for the false-PASS direction — a `round(<alias>, k)` where
+<alias> is defined elsewhere in the SQL as `<expr> AS <alias>`
+(CTE/subquery SELECT list) is treated as growing iff the FULL defining
+expression contains a lexical sum(. The r16 resolver pattern-matched a
+sum-LEADING shape (`sum(...) [op tail]* AS alias`) and missed
+`2 * sum(x) AS a` and `(sum(x)+sum(y))/2 AS a` — a false-PASS path; the
+resolver now extracts each alias's whole defining expression with a
+balanced-paren scan (string literals masked) and applies the same
+lexical test to it. `--selftest` pins both previously-missed shapes.
 Known conservative blind spot, accepted: avg-style columns
 (round(sum(x)/count(*), k), or an alias of one) ARE projected as growing
 even though ratios don't grow — a false FAIL direction only; if one
@@ -81,28 +88,141 @@ _NOT_ALIASES = frozenset(
     "filter where over partition by order asc desc".split())
 
 
-def expr_grows(sql: str, expr_text: str) -> bool:
+def _alias_defs(sql: str) -> dict:
+    """Map lowercased alias -> list of FULL defining expression texts, one
+    per `<expr> AS <alias>` site anywhere in the SQL. The r16 resolver
+    pattern-matched only sum-LEADING definitions and missed leading
+    factors (`2 * sum(x) AS a`) and parenthesized combinations
+    (`(sum(x)+sum(y))/2 AS a`) — r17 ADVICE. This scanner instead walks
+    BACKWARD from each `AS <ident>` to the start of its select item:
+    the nearest comma or SELECT keyword at the alias's own paren depth,
+    or the opening paren of the enclosing list — so the expression is
+    the maximal balanced span, whatever its leading token. String
+    literals are masked first so quoted text can neither hide a
+    delimiter nor contribute a fake `AS`/`sum(`. Table aliases
+    (`FROM t AS x`) resolve to a bare table name, which contains no
+    sum( and is therefore harmless."""
+    n = len(sql)
+    depth = [0] * n     # nesting level CONTAINING each char (delimiters
+    instr = [False] * n  # get the outer level, see backward-stop rules)
+    d = 0
+    quote = None
+    i = 0
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            instr[i] = True
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # doubled = escaped
+                    instr[i + 1] = True
+                    depth[i], depth[i + 1] = d, d
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            instr[i] = True
+        elif ch == "(":
+            depth[i] = d   # the paren itself sits at the OUTER level
+            d += 1
+            i += 1
+            continue
+        elif ch == ")":
+            d -= 1
+        depth[i] = d
+        i += 1
+    defs = {}
+    for m in re.finditer(r"\bAS\s+([A-Za-z_]\w*)", sql, re.IGNORECASE):
+        a = m.start()
+        if instr[a]:
+            continue
+        d0 = depth[a]
+        j = a - 1
+        start = 0
+        while j >= 0:
+            if not instr[j]:
+                if depth[j] < d0:          # opening paren of the list
+                    start = j + 1
+                    break
+                if depth[j] == d0 and sql[j] == ",":
+                    start = j + 1
+                    break
+                if (depth[j] == d0 and sql[j] in "tT"
+                        and sql[max(0, j - 5):j + 1].upper() == "SELECT"
+                        and (j - 5 <= 0
+                             or not (sql[j - 6].isalnum() or sql[j - 6] == "_"))):
+                    start = j + 1
+                    break
+            j -= 1
+        defs.setdefault(m.group(1).lower(), []).append(sql[start:a].strip())
+    return defs
+
+
+def expr_grows(sql: str, expr_text: str, defs: dict = None) -> bool:
     """True iff the rounded expression accumulates with corpus scale:
-    a lexical sum( inside it, or (r16 ADVICE, the false-PASS fix) a bare
-    identifier inside it that the SAME SQL defines as `sum(...) [arith]
-    AS <ident>` in a CTE/subquery SELECT list. One resolution level —
+    a lexical sum( inside it, or a bare identifier inside it whose FULL
+    defining expression (any `<expr> AS <ident>` in the same SQL,
+    extracted by _alias_defs' balanced-paren scan) contains a lexical
+    sum(. If an alias name is defined at multiple sites, ANY growing
+    definition marks it growing — conservative. One resolution level —
     the inventory's oracle SQL nests aliases at most once, and a deeper
     chain still hits the lexical test at its defining site."""
     if re.search(r"\bsum\s*\(", expr_text, re.IGNORECASE):
         return True
+    if defs is None:
+        defs = _alias_defs(sql)
     for ident in set(re.findall(r"[A-Za-z_]\w*", expr_text)):
         if ident.lower() in _NOT_ALIASES:
             continue
-        # `sum(<balanced>) <optional arithmetic tail> AS ident`: if the
-        # alias is (derived from) a sum, the rounded column grows. The
-        # arithmetic tail keeps sum(x)/count(*)-style aliases growing —
-        # the documented conservative false-FAIL direction.
-        if re.search(
-                r"\bsum\s*\(" + _INNER + r"\)\s*(?:[-+*/%]\s*[\w.]+(?:\(" +
-                _INNER + r"\))?\s*)*AS\s+" + re.escape(ident) + r"\b",
-                sql, re.IGNORECASE | re.DOTALL):
-            return True
+        for definition in defs.get(ident.lower(), []):
+            if re.search(r"\bsum\s*\(", definition, re.IGNORECASE):
+                return True
     return False
+
+
+def selftest():
+    """Resolver agreement cases, including the two r17-ADVICE shapes the
+    r16 sum-leading pattern missed. Exit 1 on any mismatch."""
+    cases = [
+        # (label, sql, rounded expr text, want_grows)
+        ("direct sum",
+         "SELECT round(sum(x), 2) AS r FROM t GROUP BY g", "sum(x)", True),
+        ("leading factor alias (r17 ADVICE miss)",
+         "WITH c AS (SELECT g, 2 * sum(x) AS a FROM t GROUP BY g) "
+         "SELECT g, round(a, 2) AS r FROM c", "a", True),
+        ("parenthesized multi-sum alias (r17 ADVICE miss)",
+         "WITH c AS (SELECT g, (sum(x) + sum(y)) / 2 AS a FROM t GROUP BY g) "
+         "SELECT g, round(a, 2) AS r FROM c", "a", True),
+        ("sum-leading tail alias (r16 shape still resolves)",
+         "WITH c AS (SELECT g, sum(x) * 0.2 AS a FROM t GROUP BY g) "
+         "SELECT g, round(a, 2) AS r FROM c", "a", True),
+        ("avg-of-sums alias: conservative false-FAIL direction, kept",
+         "WITH c AS (SELECT g, sum(x) / count(*) AS a FROM t GROUP BY g) "
+         "SELECT g, round(a, 2) AS r FROM c", "a", True),
+        ("avg alias does not grow",
+         "WITH c AS (SELECT g, avg(x) AS a FROM t GROUP BY g) "
+         "SELECT g, round(a, 2) AS r FROM c", "a", False),
+        ("plain column does not grow",
+         "SELECT round(l_discount, 2) AS r FROM lineitem", "l_discount", False),
+        ("sum( inside a string literal does not poison the alias",
+         "SELECT round(a, 2) AS r FROM "
+         "(SELECT x AS a, 'sum(q) AS a' AS note FROM t)", "a", False),
+        ("case-insensitive alias resolution",
+         "WITH c AS (SELECT g, 3 - SUM(x) AS BigA FROM t GROUP BY g) "
+         "SELECT g, round(biga, 2) AS r FROM c", "biga", True),
+        ("second select item after a comma resolves cleanly",
+         "WITH c AS (SELECT g, min(x) AS lo, (sum(x)) + 1 AS a FROM t "
+         "GROUP BY g) SELECT g, round(a, 2) AS r FROM c", "a", True),
+    ]
+    bad = 0
+    for label, sql, expr, want in cases:
+        got = expr_grows(sql, expr)
+        ok = got == want
+        bad += 0 if ok else 1
+        print(f"SELFTEST {'OK ' if ok else 'MISMATCH'} grows={got} "
+              f"want={want} — {label}")
+    print(f"== margin_audit selftest: {len(cases) - bad}/{len(cases)} agree ==")
+    sys.exit(1 if bad else 0)
 
 
 def out_columns(con, result_dir):
@@ -113,6 +233,7 @@ def out_columns(con, result_dir):
 def audit_key(con, name, sql, result_dir, proj_mult):
     findings = []
     cols = out_columns(con, result_dir)
+    defs = _alias_defs(sql)  # one balanced-paren scan per key, not per column
     for m in ROUND_AS.finditer(sql):
         expr_text, k, alias = m.group(1), int(m.group(2)), m.group(3)
         quantum = 10.0 ** (-k)
@@ -137,7 +258,7 @@ def audit_key(con, name, sql, result_dir, proj_mult):
             findings.append(dict(key=name, column=alias, k=k, error=str(e).splitlines()[0]))
             continue
         maxabs = row[0] if row and row[0] is not None else 0.0
-        grows = expr_grows(sql, expr_text)
+        grows = expr_grows(sql, expr_text, defs)
         projected = maxabs * (proj_mult if grows else 1.0)
         margin_now = quantum / math.ulp(maxabs) if maxabs > 0 else float("inf")
         margin_x64 = quantum / math.ulp(projected) if projected > 0 else float("inf")
@@ -148,6 +269,9 @@ def audit_key(con, name, sql, result_dir, proj_mult):
 
 
 def main():
+    if "--selftest" in sys.argv[1:]:
+        selftest()
+        return
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     outdir = sys.argv[1]
