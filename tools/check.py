@@ -45,8 +45,12 @@ Two compare paths, same semantics (r16 VERDICT task 1):
   Threshold 0 forces the vector path for every key (the cross-validation
   mode: run the full sf0.01 dump both ways and diff the verdicts).
 --selftest runs both paths over adversarial micro-cases (signed zero,
-NaN, int-vs-float column, decimal scale, multiplicity, row count) and
-requires verdict agreement.
+NaN, int-vs-float column, decimal scale, multiplicity, row count,
+quote-bearing/companion-colliding float column names, and the NESTED
+fallback boundary — list equal/unequal, list-vs-scalar dtype,
+empty-list multiplicity, zero-row list) and requires verdict agreement;
+nested cases additionally require the vector path to REFUSE (fall back)
+rather than judge.
 """
 import sys, os, json, glob, tempfile
 import duckdb
@@ -138,14 +142,21 @@ def _type_class(tstr):
 
 def _norm_exprs(cols, classes):
     """Normalized projection (list of SQL select items) for one side."""
+    # Signbit companion aliases are POSITIONAL (index, not the column
+    # name — a quote-bearing name must not be interpolated raw into the
+    # alias, r17 ADVICE) under a prefix escalated until no real column
+    # starts with it, so a genuine column named __sb_0 can never collide.
+    pre = "__sb_"
+    while any(c.startswith(pre) for c in cols):
+        pre = "_" + pre
     items = []
-    for c, k in zip(cols, classes):
+    for i, (c, k) in enumerate(zip(cols, classes)):
         q = '"' + c.replace('"', '""') + '"'
         if k == "INT":
             items.append(f"CAST({q} AS HUGEINT) AS {q}")
         elif k == "FLOAT":
             items.append(f"CAST({q} AS DOUBLE) AS {q}")
-            items.append(f'signbit(CAST({q} AS DOUBLE)) AS "__sb_{c}"')
+            items.append(f'signbit(CAST({q} AS DOUBLE)) AS "{pre}{i}"')
         elif k == "DECIMAL":
             items.append(f"CAST({q} AS VARCHAR) AS {q}")
         elif k == "TS":
@@ -205,80 +216,144 @@ def compare_vector(con, name, spark_glob, sql):
             False)
 
 def selftest():
-    """Adversarial micro-cases through BOTH paths; verdicts must agree."""
+    """Adversarial micro-cases through BOTH paths; verdicts must agree.
+    Cases with want_fallback=True pin the NESTED-column routing boundary
+    (r17 verdict task 3): the vector path must REFUSE them (return None,
+    deferring to Python) AND the Python verdict must be the canonical
+    one — FAIL for any materialized list column (the driver's pandas row
+    sort raises on ndarray), PASS only for the zero-row case where the
+    driver never sees a value. A vector path that 'handled' a nested
+    column itself would silently replace driver semantics."""
     con = duckdb.connect()
-    tmp = tempfile.mkdtemp(prefix="check_selftest_")
     cases = [
-        # (name, spark-side SQL to dump as parquet, oracle SQL, want_pass)
+        # (name, spark-side SQL to dump as parquet, oracle SQL,
+        #  want_pass, want_fallback)
         ("equal_multiset",
          "SELECT * FROM (VALUES (1::BIGINT, 'a'), (1::BIGINT, 'a'), (2::BIGINT, 'b')) t(k, s)",
          "SELECT * FROM (VALUES (2::BIGINT, 'b'), (1::BIGINT, 'a'), (1::BIGINT, 'a')) t(k, s)",
-         True),
+         True, False),
         ("signed_zero",
          "SELECT -0.0::DOUBLE AS x",
          "SELECT 0.0::DOUBLE AS x",
-         False),
+         False, False),
         ("nan_self_equal",
          "SELECT 'nan'::DOUBLE AS x UNION ALL SELECT 1.5::DOUBLE",
          "SELECT 1.5::DOUBLE AS x UNION ALL SELECT 'nan'::DOUBLE",
-         True),
+         True, False),
         ("int_vs_float_col",
          "SELECT 123::BIGINT AS x",
          "SELECT 123.0::DOUBLE AS x",
-         False),
+         False, False),
         ("int_width_ok",
          "SELECT 123::INTEGER AS x",
          "SELECT 123::HUGEINT AS x",
-         True),
+         True, False),
         ("decimal_scale",
          "SELECT 1.20::DECIMAL(10,2) AS x",
          "SELECT 1.200::DECIMAL(10,3) AS x",
-         False),
+         False, False),
         ("decimal_equal",
          "SELECT 1.20::DECIMAL(10,2) AS x",
          "SELECT 1.20::DECIMAL(12,2) AS x",
-         True),
+         True, False),
         ("multiplicity",
          "SELECT * FROM (VALUES (1::BIGINT), (1::BIGINT), (2::BIGINT)) t(k)",
          "SELECT * FROM (VALUES (1::BIGINT), (2::BIGINT), (2::BIGINT)) t(k)",
-         False),
+         False, False),
         ("row_count",
          "SELECT * FROM (VALUES (1::BIGINT), (2::BIGINT)) t(k)",
          "SELECT * FROM (VALUES (1::BIGINT)) t(k)",
-         False),
+         False, False),
         ("null_equal",
          "SELECT * FROM (VALUES (NULL::BIGINT, 'a'), (1::BIGINT, NULL)) t(k, s)",
          "SELECT * FROM (VALUES (1::BIGINT, NULL), (NULL::BIGINT, 'a')) t(k, s)",
-         True),
+         True, False),
         ("value_diff",
          "SELECT 1.5000001::DOUBLE AS x",
          "SELECT 1.5000002::DOUBLE AS x",
-         False),
+         False, False),
         ("bool_vs_int_col",
          "SELECT TRUE AS x",
          "SELECT 1::BIGINT AS x",
-         False),
+         False, False),
+        # r17 ADVICE: a quote-bearing FLOAT column name must not garble
+        # the generated signbit companion (want=PASS so a fails-closed
+        # SQL error can't masquerade as agreement).
+        ("float_quoted_colname",
+         'SELECT -0.0::DOUBLE AS "x""y"',
+         'SELECT -0.0::DOUBLE AS "x""y"',
+         True, False),
+        # ...and a genuine column named like a companion alias must not
+        # collide with the generated one (prefix escalation).
+        ("float_sb_alias_collision",
+         "SELECT 1.5::DOUBLE AS x, 2::BIGINT AS __sb_0",
+         "SELECT 1.5::DOUBLE AS x, 2::BIGINT AS __sb_0",
+         True, False),
+        # NESTED fallback boundary (r17 verdict task 3): routing AND the
+        # Python verdict, pinned. Any materialized list column is the
+        # canonical driver-sort FAIL — equal lists included.
+        ("nested_list_equal",
+         "SELECT [1, 2]::BIGINT[] AS x",
+         "SELECT [1, 2]::BIGINT[] AS x",
+         False, True),
+        ("nested_list_unequal",
+         "SELECT [1, 2]::BIGINT[] AS x",
+         "SELECT [1, 3]::BIGINT[] AS x",
+         False, True),
+        # list-vs-scalar dtype: NESTED on ONE side alone must already
+        # route to Python (the vector dtype-class compare never runs).
+        ("nested_vs_scalar_dtype",
+         "SELECT [1]::BIGINT[] AS x",
+         "SELECT 1::BIGINT AS x",
+         False, True),
+        ("nested_empty_list_multiplicity",
+         "SELECT * FROM (VALUES ([]::BIGINT[]), ([]::BIGINT[])) t(x)",
+         "SELECT * FROM (VALUES ([]::BIGINT[])) t(x)",
+         False, True),
+        # Routing is DTYPE-driven, not value-driven: a zero-row list
+        # column still falls back, and Python PASSes it (no value ever
+        # reaches the driver's row sort).
+        ("nested_zero_rows",
+         "SELECT [1]::BIGINT[] AS x WHERE 1 = 0",
+         "SELECT [1]::BIGINT[] AS x WHERE 1 = 0",
+         True, True),
     ]
     n_bad = 0
-    for name, ssql, osql, want in cases:
-        d = os.path.join(tmp, name)
-        os.makedirs(d, exist_ok=True)
-        con.sql(f"COPY ({ssql}) TO '{d}/part0.parquet' (FORMAT PARQUET)")
-        lp, pp = compare_python(con, name, f"{d}/*.parquet", osql)
-        rv = compare_vector(con, name, f"{d}/*.parquet", osql)
-        if rv is None:
-            print(f"SELFTEST {name}: vector fell back (NESTED) — unexpected")
-            n_bad += 1
-            continue
-        lv, pv = rv
-        ok = (pp == pv == want)
-        if not ok:
-            n_bad += 1
-        print(f"SELFTEST {name}: python={'PASS' if pp else 'FAIL'} "
-              f"vector={'PASS' if pv else 'FAIL'} want={'PASS' if want else 'FAIL'}"
-              f" {'OK' if ok else 'MISMATCH'}")
-        if not ok:
-            print(f"  python: {lp}\n  vector: {lv}")
+    tmp = tempfile.mkdtemp(prefix="check_selftest_")
+    try:
+        for name, ssql, osql, want, want_fallback in cases:
+            d = os.path.join(tmp, name)
+            os.makedirs(d, exist_ok=True)
+            con.sql(f"COPY ({ssql}) TO '{d}/part0.parquet' (FORMAT PARQUET)")
+            lp, pp = compare_python(con, name, f"{d}/*.parquet", osql)
+            rv = compare_vector(con, name, f"{d}/*.parquet", osql)
+            if want_fallback:
+                ok = rv is None and pp == want
+                if not ok:
+                    n_bad += 1
+                print(f"SELFTEST {name}: python={'PASS' if pp else 'FAIL'} "
+                      f"vector={'FALLBACK' if rv is None else 'RAN'} "
+                      f"want={'PASS' if want else 'FAIL'}+FALLBACK"
+                      f" {'OK' if ok else 'MISMATCH'}")
+                if not ok:
+                    print(f"  python: {lp}\n  vector: {rv}")
+                continue
+            if rv is None:
+                print(f"SELFTEST {name}: vector fell back (NESTED) — unexpected")
+                n_bad += 1
+                continue
+            lv, pv = rv
+            ok = (pp == pv == want)
+            if not ok:
+                n_bad += 1
+            print(f"SELFTEST {name}: python={'PASS' if pp else 'FAIL'} "
+                  f"vector={'PASS' if pv else 'FAIL'} want={'PASS' if want else 'FAIL'}"
+                  f" {'OK' if ok else 'MISMATCH'}")
+            if not ok:
+                print(f"  python: {lp}\n  vector: {lv}")
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)  # r17 ADVICE: no parquet litter
     print(f"== selftest: {len(cases) - n_bad}/{len(cases)} agree ==")
     sys.exit(1 if n_bad else 0)
 
