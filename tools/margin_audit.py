@@ -40,23 +40,32 @@ Checklist wiring: run on the sf0.01 Verify dump every final gate
 (`python3 tools/margin_audit.py /tmp/vout 0.1`); re-run on a x16f dump
 when a money/rounded column changes (projection then needs only x4).
 
-Grows-with-scale detection (r16 ADVICE, resolver rewritten per r17
-ADVICE): lexical `sum(` inside the rounded expression, PLUS alias
-resolution for the false-PASS direction — a `round(<alias>, k)` where
-<alias> is defined elsewhere in the SQL as `<expr> AS <alias>`
-(CTE/subquery SELECT list) is treated as growing iff the FULL defining
-expression contains a lexical sum(. The r16 resolver pattern-matched a
-sum-LEADING shape (`sum(...) [op tail]* AS alias`) and missed
-`2 * sum(x) AS a` and `(sum(x)+sum(y))/2 AS a` — a false-PASS path; the
-resolver now extracts each alias's whole defining expression with a
-balanced-paren scan (string literals masked) and applies the same
-lexical test to it. `--selftest` pins both previously-missed shapes.
-Known conservative blind spot, accepted: avg-style columns
-(round(sum(x)/count(*), k), or an alias of one) ARE projected as growing
-even though ratios don't grow — a false FAIL direction only; if one
-trips the gate, verify the ratio semantics by hand and record the
-waiver in BASELINE.md. Keep new oracle SQL with sums lexically inside
-the round() where possible — the resolver is a backstop, not a license.
+Grows-with-scale detection (r16 ADVICE; resolver rewritten per r17
+ADVICE, then generalized to DEGREE analysis): a column's magnitude
+scales like N^deg where accumulating aggregates (sum, count) contribute
+degree +1, multiplication adds degrees, and division subtracts them —
+so `sum(x)`, `2 * sum(x)`, `(sum(x)+sum(y))/2` all have degree 1
+(grow), while avg-style ratios (`sum(x)/count(*)`, q1's
+`CAST(spc AS DOUBLE)/cnt/100.0` where spc/cnt alias a sum/count) have
+degree 0 (don't grow — fixing the false-FAIL the old lexical rule
+accepted, which started actually firing on q1's avg_price once the r17
+alias-resolution fix landed). Aliases resolve to their FULL defining
+expression (`<expr> AS <alias>` anywhere in the SQL, extracted with a
+balanced-paren scan, single-quoted literals masked), one level deep.
+Degrees are INTERVALS (lo, hi) so uncertainty stays fail-loud:
+cancellation through division needs the denominator's LO degree — an
+unknown function or unresolvable construct has lo 0 and can never
+cancel a growing numerator, while `grows` itself keys on HI, so
+anything that might accumulate still projects. Known value-preserving
+wrappers (cast/round/coalesce/nullif/greatest/least/abs/...) pass
+degrees through; unknown functions pass hi through with lo 0; an
+unparseable atom falls back to the old lexical sum( test. The ×64f
+MEASURED audit (dumpScale 64, projection ×1 — BASELINE.md r17) is the
+ground truth this analysis is checked against: every ratio column it
+measured at true magnitude cleared with ≥6.5× headroom.
+`--selftest` pins the shapes in both directions. Keep new oracle SQL
+with sums lexically inside the round() where possible — the resolver
+is a backstop, not a license.
 """
 import glob
 import json
@@ -158,26 +167,172 @@ def _alias_defs(sql: str) -> dict:
     return defs
 
 
+# Functions whose RESULT scales like their (max-degree) argument: safe to
+# pass both interval bounds through. Everything NOT here passes only the
+# hi bound (lo 0) so it can never enable cancellation via division.
+_PASSTHROUGH_FNS = frozenset(
+    "cast try_cast round abs floor ceil ceiling trunc truncate coalesce "
+    "ifnull nullif greatest least if sign".split())
+# Aggregates whose result accumulates linearly with corpus scale.
+_GROWING_FNS = frozenset(["sum", "count"])
+# Aggregates/functions whose result magnitude is scale-invariant.
+_FLAT_FNS = frozenset(
+    "avg mean median min max mode stddev stddev_pop stddev_samp variance "
+    "var_pop var_samp corr covar_pop covar_samp skewness kurtosis quantile "
+    "quantile_cont quantile_disc percentile_cont percentile_disc "
+    "any_value arbitrary first last bool_and bool_or".split())
+
+_CAST_TAIL = re.compile(
+    r"\s+AS\s+[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$",
+    re.IGNORECASE)
+
+
+def _mask_strings(s: str) -> str:
+    """Blank out single-quoted SQL string literal CONTENTS (quotes kept)
+    so literal text can't look like operators, parens, or sum(."""
+    out = list(s)
+    i, n, inq = 0, len(s), False
+    while i < n:
+        if s[i] == "'":
+            if inq and i + 1 < n and s[i + 1] == "'":  # doubled = escaped
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            inq = not inq
+        elif inq:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+def _split_top(s: str, seps: str):
+    """Split at paren depth 0 on any char in seps -> [(segment, sep), ...]
+    where sep is the separator FOLLOWING the segment (None for the last)."""
+    parts, cur, d = [], [], 0
+    for ch in s:
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+        if d == 0 and ch in seps:
+            parts.append(("".join(cur), ch))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append(("".join(cur), None))
+    return parts
+
+
+def _whole_call(s: str):
+    """If s is exactly one function call `name( ... )`, return
+    (name_lower, inner_text); else None."""
+    m = re.match(r"^([A-Za-z_]\w*)\s*\(", s)
+    if not m or not s.endswith(")"):
+        return None
+    d = 0
+    for i in range(m.end() - 1, len(s)):
+        if s[i] == "(":
+            d += 1
+        elif s[i] == ")":
+            d -= 1
+            if d == 0:
+                return (m.group(1).lower(), s[m.end():i]) \
+                    if i == len(s) - 1 else None
+    return None
+
+
+def _union(ivs):
+    los, his = zip(*ivs)
+    return (max(los), max(his))  # additive terms: magnitude ~ the max-deg term
+
+
+def _expr_degree(s: str, defs: dict, depth: int, seen: frozenset = frozenset()):
+    """Interval (lo, hi) of the scale exponent of expression s. `seen`
+    carries the alias names currently being resolved: a re-entrant
+    reference (`CAST(n_tokens AS INT) AS n_tokens` — the outer SELECT
+    renaming a CTE column after itself) is SQL scoping pointing at the
+    deeper scope, i.e. a plain column, degree (0, 0); without this the
+    cycle hits the depth cap and reads (0, 1) noise. A genuine
+    `sum(x) AS x` shadow still grows: the sum( is seen before the inner
+    x is ever resolved."""
+    if depth > 8:  # pathological nesting: assume growing
+        return (0, 1)
+    s = s.strip()
+    if not s or s == "*":  # count(*)'s argument
+        return (0, 0)
+    add = _split_top(s, "+-")
+    terms = [t for t, _ in add if t.strip()]
+    if len(terms) > 1:
+        return _union([_expr_degree(t, defs, depth + 1, seen) for t in terms])
+    if len(terms) == 1 and terms[0].strip() != s:
+        s = terms[0].strip()  # unary sign stripped
+    mul = _split_top(s, "*/%")
+    if len(mul) > 1:
+        lo, hi = _expr_degree(mul[0][0], defs, depth + 1, seen)
+        op = mul[0][1]
+        for seg, nxt in mul[1:]:
+            slo, shi = _expr_degree(seg, defs, depth + 1, seen)
+            if op == "*":
+                lo, hi = lo + slo, hi + shi
+            elif op == "/":
+                lo, hi = lo - shi, hi - slo  # cancel only by PROVEN growth
+            else:  # %: result bounded by either operand — no growth claim
+                lo, hi = 0, max(hi, shi)
+            op = nxt
+        return (lo, hi)
+    atom = mul[0][0].strip()
+    if atom.startswith("(") and atom.endswith(")"):
+        inner = _whole_call("__p" + atom)  # reuse the matcher via a fake name
+        if inner is not None:
+            return _expr_degree(inner[1], defs, depth + 1, seen)
+    call = _whole_call(atom)
+    if call is not None:
+        fn, inner = call
+        if fn in _GROWING_FNS:
+            # sum/count over DISTINCT saturates with a fixed value domain
+            # (facts-scaling duplicates rows): may grow, can never cancel.
+            if re.match(r"^\s*DISTINCT\b", inner, re.IGNORECASE):
+                return (0, 1)
+            return (1, 1)
+        if fn in _FLAT_FNS:
+            return (0, 0)
+        if fn == "cast" or fn == "try_cast":
+            inner = _CAST_TAIL.sub("", inner)
+        args = [a for a, _ in _split_top(inner, ",")]
+        ivs = [_expr_degree(a, defs, depth + 1, seen) for a in args if a.strip()]
+        if not ivs:
+            return (0, 0)
+        lo, hi = _union(ivs)
+        return (lo, hi) if fn in _PASSTHROUGH_FNS or fn in ("cast", "try_cast") \
+            else (0, hi)  # unknown fn: may grow, can never cancel
+    if re.fullmatch(r"[A-Za-z_]\w*", atom):
+        if atom.lower() in _NOT_ALIASES:
+            return (0, 0)
+        if atom.lower() in seen:
+            return (0, 0)  # re-entrant alias = inner-scope plain column
+        ds = defs.get(atom.lower())
+        if ds:
+            inner_seen = seen | {atom.lower()}
+            return _union([_expr_degree(_mask_strings(d), defs, depth + 1,
+                                        inner_seen) for d in ds])
+        return (0, 0)  # a raw column: scale-invariant magnitude
+    if re.fullmatch(r"(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", atom):
+        return (0, 0)
+    # Unparseable atom (CASE WHEN, EXTRACT, ::casts, ...): the old
+    # lexical rule, hi-only — may grow, can never cancel.
+    return (0, 1) if re.search(r"\bsum\s*\(|\bcount\s*\(", atom, re.IGNORECASE) \
+        else (0, 0)
+
+
 def expr_grows(sql: str, expr_text: str, defs: dict = None) -> bool:
-    """True iff the rounded expression accumulates with corpus scale:
-    a lexical sum( inside it, or a bare identifier inside it whose FULL
-    defining expression (any `<expr> AS <ident>` in the same SQL,
-    extracted by _alias_defs' balanced-paren scan) contains a lexical
-    sum(. If an alias name is defined at multiple sites, ANY growing
-    definition marks it growing — conservative. One resolution level —
-    the inventory's oracle SQL nests aliases at most once, and a deeper
-    chain still hits the lexical test at its defining site."""
-    if re.search(r"\bsum\s*\(", expr_text, re.IGNORECASE):
-        return True
+    """True iff the rounded expression's magnitude accumulates with corpus
+    scale: its scale-exponent interval (see _expr_degree) has hi >= 1.
+    Ratios of accumulating aggregates (sum/count and friends) cancel to
+    degree 0 and correctly do NOT project; any uncertain construct keeps
+    hi >= 1 and still projects (fail-loud)."""
     if defs is None:
         defs = _alias_defs(sql)
-    for ident in set(re.findall(r"[A-Za-z_]\w*", expr_text)):
-        if ident.lower() in _NOT_ALIASES:
-            continue
-        for definition in defs.get(ident.lower(), []):
-            if re.search(r"\bsum\s*\(", definition, re.IGNORECASE):
-                return True
-    return False
+    return _expr_degree(_mask_strings(expr_text), defs, 0)[1] >= 1
 
 
 def selftest():
@@ -196,9 +351,43 @@ def selftest():
         ("sum-leading tail alias (r16 shape still resolves)",
          "WITH c AS (SELECT g, sum(x) * 0.2 AS a FROM t GROUP BY g) "
          "SELECT g, round(a, 2) AS r FROM c", "a", True),
-        ("avg-of-sums alias: conservative false-FAIL direction, kept",
+        ("avg-of-sums alias cancels: degree 1 - 1 = 0",
          "WITH c AS (SELECT g, sum(x) / count(*) AS a FROM t GROUP BY g) "
-         "SELECT g, round(a, 2) AS r FROM c", "a", True),
+         "SELECT g, round(a, 2) AS r FROM c", "a", False),
+        ("q1 avg_price shape: CAST(sum-alias)/count-alias/literal cancels",
+         "WITH t AS (SELECT g, CAST(sum(CAST(pc AS DECIMAL(38,0))) AS "
+         "BIGINT) AS spc, count(*) AS cnt FROM b GROUP BY g) "
+         "SELECT g, round(CAST(spc AS DOUBLE) / cnt / 100.0, 6) AS r FROM t",
+         "CAST(spc AS DOUBLE) / cnt / 100.0", False),
+        ("ratio of two sums cancels",
+         "SELECT round(sum(x) / sum(y), 4) AS r FROM t",
+         "sum(x) / sum(y)", False),
+        ("product of sums over one count still grows (degree 1+1-1)",
+         "SELECT round(sum(x) * sum(y) / count(*), 2) AS r FROM t",
+         "sum(x) * sum(y) / count(*)", True),
+        ("division by a FLAT aggregate does not cancel",
+         "SELECT round(sum(x) / max(y), 2) AS r FROM t",
+         "sum(x) / max(y)", True),
+        ("nullif-wrapped count still cancels (pass-through lo)",
+         "SELECT round(sum(x) / nullif(count(*), 0), 2) AS r FROM t",
+         "sum(x) / nullif(count(*), 0)", False),
+        ("unknown function can never cancel (lo 0)",
+         "SELECT round(sum(x) / mystery(count(*)), 2) AS r FROM t",
+         "sum(x) / mystery(count(*))", True),
+        ("count(DISTINCT ...) saturates: cannot cancel, still projects alone",
+         "SELECT round(sum(x) / count(DISTINCT u), 2) AS r FROM t",
+         "sum(x) / count(DISTINCT u)", True),
+        ("reciprocal of a sum shrinks: not growing",
+         "SELECT round(100.0 / sum(x), 8) AS r FROM t",
+         "100.0 / sum(x)", False),
+        ("self-shadow RENAME alias is a plain column, not a cycle",
+         "WITH t AS (SELECT doc_id, len(xs) AS n_tokens FROM d) "
+         "SELECT CAST(n_tokens AS INT) AS n_tokens, "
+         "round(least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0, 6) AS r "
+         "FROM t", "least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0", False),
+        ("self-shadow SUM alias still grows (sum seen before re-entry)",
+         "WITH t AS (SELECT g, sum(x) AS x FROM d GROUP BY g) "
+         "SELECT g, round(x, 2) AS r FROM t", "x", True),
         ("avg alias does not grow",
          "WITH c AS (SELECT g, avg(x) AS a FROM t GROUP BY g) "
          "SELECT g, round(a, 2) AS r FROM c", "a", False),
