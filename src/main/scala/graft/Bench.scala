@@ -323,11 +323,20 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       extra
     }
-    samples.foreach { case (k, ss) =>
-      if (overFlag(k, ss)) {
-        val extra = warmRemeasure(k)
-        if (extra >= 0) rerun1(k) = extra
-      }
+    // Mid-run load samples (r17 verdict task 4): the start/end spins
+    // bracket the run, so a burst that lives entirely INSIDE the sweep
+    // and drains before the closing spin reads quiet at both ends. A
+    // re-measure pass triggering is exactly the moment such a burst is
+    // suspected, so take one extra spin sample at the entry of each
+    // pass — near-zero cost on clean runs (no flags → no sample),
+    // stamped as load_cal.mid_ms in bench_full.json (file only; the
+    // stdout field keeps its fixed start/end width).
+    val calMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val flagged1 = samples.filter { case (k, ss) => overFlag(k, ss) }
+    if (flagged1.nonEmpty) calMid += spinCalMs(cpus.toInt)
+    flagged1.foreach { case (k, _) =>
+      val extra = warmRemeasure(k)
+      if (extra >= 0) rerun1(k) = extra
     }
     // Pass 2 — DELAYED (r11 verdict task 1): a contention burst that
     // spans sweep AND pass 1 still reports an inflated number
@@ -357,6 +366,9 @@ object Bench {
       val delayMs =
         graft.T.envInt("SPARK_GRAFT_RERUN2_DELAY_SEC", 60, min = 0, max = 3600) * 1000L
       Thread.sleep(delayMs)
+      // Second mid-run load sample, taken INSIDE the delayed window it
+      // vouches for (after the back-off, before the re-measures).
+      calMid += spinCalMs(cpus.toInt)
       stillOver.foreach { case (k, _) =>
         val extra = warmRemeasure(k)
         if (extra >= 0) rerun2(k) = extra
@@ -395,11 +407,13 @@ object Bench {
     // ~1900 chars NO MATTER how many keys the inventory grows to: emit
     // the slowest keys (the informative ones) until the char budget is
     // spent, and fold the remaining fast keys into a count + summed
-    // seconds. Budget 1655 (r9 verdict task 5 raised it to 1700; r11's
-    // over_band/rerun fields and r12's rerun2 add ~45 chars of fixed
-    // overhead, so trim the key budget by the same amount — fixed
-    // overhead is now ~165 chars, line ≤ ~1850). Full per-key numbers live in
-    // bench_full.json / BASELINE.md.
+    // seconds. Budget 1630 (r9 task 5 set 1700; r11/r12's
+    // over_band/rerun/rerun2 fields and r17's load_cal stdout field eat
+    // the difference — load_cal costs ~26-34 chars when spin readings
+    // reach 3-4 digits under load, so fixed overhead is ~200 chars
+    // worst case, line ≤ ~1850 with ~120 chars slack under the
+    // driver's 2000-char tail minus sbt's ~80-char [success] line).
+    // Full per-key numbers live in bench_full.json / BASELINE.md.
     def f(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.values.filter(_ >= 0).sum
     // Failures (-1 sentinel) sort FIRST: under the char budget the tail
@@ -460,17 +474,25 @@ object Bench {
     // Load calibration stamp (r16 verdict task 4): fixed-work spin wall
     // times bracketing the run. quiet_ref_ms is the pinned quiet-box
     // value (BASELINE.md r17) so a reader can ratio without hunting.
+    // mid_ms (r17 verdict task 4) appears only on runs where a
+    // re-measure pass fired — one reading per pass, taken at its entry.
+    val midJson =
+      if (calMid.isEmpty) ""
+      else s""""mid_ms": [${calMid.map(f).mkString(", ")}], """
     val calJson =
-      s"""  "load_cal": {"start_ms": ${f(calStartMs)}, "end_ms": ${f(calEndMs)}, "iters": $SpinIters, "threads": $cpus, "quiet_ref_ms": 55},\n"""
+      s"""  "load_cal": {"start_ms": ${f(calStartMs)}, $midJson"end_ms": ${f(calEndMs)}, "iters": $SpinIters, "threads": $cpus, "quiet_ref_ms": 55},\n"""
     // Wall-clock stamp: tools/bench_compare.py compares it against
     // bench_baseline_isolated.json's to require the isolated arbiter to
     // POSTDATE the run it vouches for.
     val genAt = System.currentTimeMillis() / 1000L
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n  "ckpt": "$ckptMode",\n  "generated_at": $genAt,\n  "early_accept": ${acceptAt.nonEmpty},\n$synthJson$calJson  "over_band": $overBand,\n  "rerun": ${rerun1.size},\n  "rerun2": ${rerun2.size},\n$ctlJson  "total_min_sec": ${f(total)},\n  "keys": {\n$keyJson\n  }\n}\n""")
-    // The compact load_cal stamp rides the stdout line too (~20 chars;
-    // the shown-key budget above was trimmed 1655 → 1630 to pay for it)
-    // so even a tail-only reader sees the bracket readings.
+    // The compact load_cal stamp rides the stdout line too (~26 chars
+    // quiet, ~34 worst case with 4-digit readings under heavy load; the
+    // shown-key budget above was trimmed 1655 → 1630 to pay for it, and
+    // the remaining ~120-char slack absorbs the worst case) so even a
+    // tail-only reader sees the bracket readings. mid_ms stays
+    // file-only to keep this line's width fixed.
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted_fast_keys":${omitted.size},"omitted_sec":${f(omittedSum)},"sf":"$sfName","ckpt":"$ckptMode","over_band":$overBand,"rerun":${rerun1.size},"rerun2":${rerun2.size},"load_cal":"${f(calStartMs)}/${f(calEndMs)}ms"$synthStdout}""")
     spark.stop()
   }

@@ -201,16 +201,24 @@ def main() -> None:
           f"{len(cur)} keys; baseline sum-of-medians "
           f"{base['total_of_medians']} s over {len(base['keys'])} keys")
     # Load calibration stamp (r16 verdict task 4): Bench times a fixed
-    # single-threaded spin at sweep start and end; vs the pinned quiet
+    # amount of work spun on N PARALLEL threads (N = executor width —
+    # a single-threaded spin is blind to autogroup contention, see
+    # Bench.scala) at sweep start and end, plus one mid-run sample per
+    # re-measure pass when flags fired (r17 task 4 — closes the
+    # burst-fully-inside-the-sweep blind spot); vs the pinned quiet
     # reference this reads ambient box load mechanically. Evidence only —
     # the flag CLASSIFICATION stays control-key/arbiter-based.
     cal = full.get("load_cal")
     if cal:
-        q = cal.get("quiet_ref_ms") or 50
-        print(f"[bench_compare] load calibration: fixed-work spin "
+        q = cal.get("quiet_ref_ms") or 55  # match Bench's stamped default
+        mid = cal.get("mid_ms") or []
+        midtxt = ("" if not mid else
+                  " / mid " + ", ".join(f"{m / q:.2f}x" for m in mid)
+                  + " (re-measure windows)")
+        print(f"[bench_compare] load calibration: fixed-work N-wide spin "
               f"{cal['start_ms']:.0f} ms at start / {cal['end_ms']:.0f} ms at "
               f"end vs quiet ref {q} ms -> load factor "
-              f"{cal['start_ms'] / q:.2f}x / {cal['end_ms'] / q:.2f}x")
+              f"{cal['start_ms'] / q:.2f}x / {cal['end_ms'] / q:.2f}x{midtxt}")
     if new:
         print(f"[bench_compare] keys not in baseline (re-pin after adding): {new}")
     if missing:
