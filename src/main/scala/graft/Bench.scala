@@ -151,7 +151,7 @@ object Bench {
           .option("checkpointLocation", s"$base/ckpt2")
           .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             bdf.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
+              .option("partitionOverwriteMode", "DYNAMIC")
               .partitionBy("k").parquet(s"$base/out2")
           }
           .trigger(Trigger.AvailableNow()).start()

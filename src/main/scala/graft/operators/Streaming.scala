@@ -641,7 +641,7 @@ object Streaming extends QueryModule {
           // batch keep their last written totals.
           .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             bdf.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
+              .option("partitionOverwriteMode", "DYNAMIC")
               .partitionBy("event_type")
               .parquet(out)
           }
@@ -762,7 +762,7 @@ object Streaming extends QueryModule {
           .option("checkpointLocation", ckpt)
           .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             bdf.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
+              .option("partitionOverwriteMode", "DYNAMIC")
               .partitionBy("date")
               .parquet(out)
           }

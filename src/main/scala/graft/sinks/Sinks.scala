@@ -35,9 +35,15 @@ object Sinks {
     // Per-write option, NOT a session conf — a session-level
     // partitionOverwriteMode=dynamic would silently change the semantics
     // of every later Overwrite write (e.g. writePartitioned's full replace).
+    // "DYNAMIC" (pre-uppercased): Spark parses this per-write option with
+    // a locale-SENSITIVE toUpperCase (InsertIntoHadoopFsRelationCommand.
+    // dynamicPartitionOverwrite — no Locale.ROOT, unlike the session-conf
+    // path), so "dynamic" under a Turkish default locale becomes
+    // "DYNAMİC" and the enum lookup throws. Uppercase ASCII is a fixed
+    // point of toUpperCase in every locale. Same at all call sites.
     delta.write
       .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
+      .option("partitionOverwriteMode", "DYNAMIC")
       .partitionBy(partitionCol)
       .parquet(path)
 
@@ -73,7 +79,11 @@ object Sinks {
       .map(r => r.get(0).toString)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      // Locale.ROOT: under a Turkish default locale, "i".toUpperCase is
+      // dotted 'İ', so any table name containing 'i' would miss the JDBC
+      // metadata lookup and skip the DELETE half of the upsert.
+      val meta = conn.getMetaData.getTables(
+        null, null, table.toUpperCase(java.util.Locale.ROOT), null)
       val exists = meta.next()
       if (exists && days.nonEmpty) {
         // Parameterized IN list — day values travel as bind parameters,

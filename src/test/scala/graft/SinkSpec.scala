@@ -47,6 +47,30 @@ class SinkSpec extends AnyFunSuite {
     assert(after.map(_.getString(0)).distinct.sorted == Seq("2024-01-03", "2024-01-04"))
   }
 
+  test("JDBC upsert survives a Turkish default locale (dotted-I metadata trap)") {
+    // Under tr-TR, "i".toUpperCase is dotted 'İ' — a locale-sensitive
+    // uppercase of a table name containing 'i' misses the Derby metadata
+    // lookup, skips the DELETE half of the upsert, and the re-run
+    // duplicates rows instead of replacing them. Pin Locale.ROOT usage.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val db = Files.createTempDirectory("graft_derby_tr").toString + "/visitsdb"
+      val url = s"jdbc:derby:$db;create=true"
+      def delta(d: String) = events(spark, sf)
+        .filter(day(col("ts")) === java.sql.Date.valueOf(d))
+        .groupBy(day(col("ts")).cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val colTypes = Some("day VARCHAR(10), event_type VARCHAR(64)")
+      sinks.Sinks.upsertJdbcCounts(delta("2024-01-03"), url, "visits", "day", colTypes)
+      val before = spark.read.jdbc(url, "visits", new java.util.Properties()).count()
+      sinks.Sinks.upsertJdbcCounts(delta("2024-01-03"), url, "visits", "day", colTypes)
+      val after = spark.read.jdbc(url, "visits", new java.util.Properties()).count()
+      assert(before == after,
+        s"tr-TR locale broke upsert idempotence: $before rows -> $after")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("upsert replaces only the delta's partitions (idempotent re-run)") {
     val out = Files.createTempDirectory("graft_upsert").toString
     val e = events(spark, sf)
