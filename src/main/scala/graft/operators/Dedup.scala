@@ -101,13 +101,54 @@ object Dedup extends QueryModule {
   private val bs: Seq[Long] = (1 to K).map(i => (2654435761L * i + 1013904223L) % P)
   // Shared by the dedup_near_minhash key and the candidate-count probe —
   // one definition, so the probe measures exactly the key's join.
-  private def minhashSigExprs =
+  //
+  // r18 OPTIMIZATION (guide step 2 / §4.1): the 16 affine-min signatures
+  // were `array_min(transform(codes, x -> (a*x+b) % P))` — interpreted
+  // Catalyst HOF lambdas, 16 of them per row, the key's own documented
+  // "expensive part". Now ONE JIT'd mapPartitions fold computes all 16
+  // minima in a single pass over each codes array (the codesDS /
+  // text_lang_id idiom). Arithmetic is identical: codes ∈ [0, P),
+  // a,b < P < 2³¹ ⇒ a·x < 2⁶² (no Long overflow), `%` of non-negatives
+  // is non-negative, min over a non-empty array (size>0 filtered
+  // upstream) — same Longs, same band keys, same candidates.
+  // `minhashSigExprsSpec` keeps the expression form as the testable
+  // specification: DedupParitySpec pins JIT ≡ HOF on random corpora.
+  private[graft] def minhashSigExprsSpec =
     (0 until K).map { i =>
       expr(s"array_min(transform(codes, x -> (${as(i)} * x + ${bs(i)}) % $P))").as(s"sig$i")
     }
+  /** (doc_id, codes, sigs[16]) — empty-codes docs filtered out. */
+  private[graft] def minhashSigsDS(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pLoc = P
+    val aArr = as.toArray
+    val bArr = bs.toArray
+    docs.select(col("doc_id"), col("codes"))
+      .filter(size(col("codes")) > 0)
+      .as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, codes) =>
+        val sigs = new Array[Long](aArr.length)
+        var i = 0
+        while (i < aArr.length) {
+          val a = aArr(i); val b = bArr(i)
+          var m = Long.MaxValue
+          var j = 0
+          while (j < codes.length) {
+            val v = (a * codes(j) + b) % pLoc
+            if (v < m) m = v
+            j += 1
+          }
+          sigs(i) = m
+          i += 1
+        }
+        (id, codes, sigs)
+      }).toDF("doc_id", "codes", "sigs")
+  }
   private def minhashBandExprs =
     (0 until BANDS).map { j =>
-      val parts = (0 until ROWS).map(r => s"CAST(sig${j * ROWS + r} AS STRING)")
+      val parts = (0 until ROWS)
+        .map(r => s"CAST(element_at(sigs, ${j * ROWS + r + 1}) AS STRING)")
       expr(s"named_struct('band', $j, 'key', concat_ws(':', ${parts.mkString(", ")}))")
     }
 
@@ -340,8 +381,7 @@ object Dedup extends QueryModule {
     val prefixCapped = prefixCandStage(capped, 4, 5).count()
     // minhash band join: raw banded matches (the join's output volume)
     // and distinct candidate pairs (what the exact-Jaccard confirm pays).
-    val sigs = docs.filter(size(col("codes")) > 0)
-      .select(col("doc_id") +: col("codes") +: minhashSigExprs: _*)
+    val sigs = minhashSigsDS(docs)
       .persist()
       .select(col("doc_id"), explode(array(minhashBandExprs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -393,16 +433,13 @@ object Dedup extends QueryModule {
     // sets) confirms ≥ 0.9. The arithmetic is literal-identical in the
     // oracle SQL, so results hash-match across engines.
     "dedup_near_minhash" -> ((s, d) => {
-      val docs = codesDS(s, d)
-        .select(col("doc_id"), col("codes"))
-        .filter(size(col("codes")) > 0)
-      // Cache AFTER the 16 sig columns but BEFORE the band explode:
-      // the affine-min transforms are interpreted Catalyst HOFs (the
-      // expensive part here) and the self-join consumes this subtree
-      // twice — without compute-once caching both sides recompute
-      // every signature (persist, not localCheckpoint: see
-      // prefixJaccardPairs note).
-      val sigs = docs.select(col("doc_id") +: col("codes") +: minhashSigExprs: _*)
+      // Cache AFTER the 16 sig values but BEFORE the band explode: the
+      // self-join consumes this subtree twice — without compute-once
+      // caching both sides recompute every signature (persist, not
+      // localCheckpoint: see prefixJaccardPairs note). Signatures are
+      // the JIT'd minhashSigsDS fold since r18 (was 16 interpreted HOF
+      // transforms — see the helper's optimization note).
+      val sigs = minhashSigsDS(codesDS(s, d))
         .persist()
         .select(col("doc_id"), col("codes"), explode(array(minhashBandExprs: _*)).as("b"))
         .select(col("doc_id"), col("codes"), col("b.band").as("band"), col("b.key").as("key"))

@@ -360,7 +360,21 @@ object Functions extends QueryModule {
                -- (negative index reads FROM THE END — element_at
                --  semantics, mirrored in the oracle's CASE arms)
                try_element_at(array(1, 2), CAST(nullif(p_size, 0) AS INT)) AS elem,
-               try_to_timestamp(p_brand, 'yyyy-MM-dd') AS bad_ts
+               -- r18 OPTIMIZATION (guide step 2): gate the parse behind a
+               -- one-char-class RLIKE. try_to_timestamp pays Java's
+               -- exception-driven DateTimeParseException path PER ROW on
+               -- a column that never parses (~40 µs/row measured — this
+               -- one expression dominated the key). The guard is a
+               -- provable SUPERSET of parseable strings: the 'yyyy'
+               -- field is strictly numeric (optional sign, ASCII digits,
+               -- no whitespace skip in java.time strict parsing), so any
+               -- string try_to_timestamp could accept starts with
+               -- [+-0-9] after optional whitespace; everything else was
+               -- NULL before and is NULL now without attempting.
+               -- Guard-passing rows run the IDENTICAL call. Equivalence
+               -- pinned on adversarial strings by FunctionsParitySpec.
+               CASE WHEN p_brand RLIKE '^\\s*[+-]?[0-9]'
+                    THEN try_to_timestamp(p_brand, 'yyyy-MM-dd') END AS bad_ts
         FROM part_try
       """)
     }),
@@ -402,14 +416,24 @@ object Functions extends QueryModule {
     // NULL variant → every projection degrades to NULL for that row.
     // Fixture parity is unchanged (all fixture props are well-formed).
     "fn_variant" -> ((s, d) => {
+      // r18 OPTIMIZATION (guide step 2, per-task work): parse ONCE into
+      // a named variant column and consume it five times. The inline
+      // form evaluated parse_json(props) five times per row (five
+      // static_invokes in one Project — plans/r18/fn_variant_before.txt;
+      // parse_json is CodegenFallback, so whole-stage-codegen common-
+      // subexpression elimination never deduped them). CollapseProject
+      // declines to inline a non-cheap alias referenced more than once,
+      // so the layered projection keeps exactly one ParseJson per row —
+      // the same idiom fn_json already uses (PlanSpec-asserted there).
       events(s, d).select(col("event_id"), col("props"))
+        .selectExpr("event_id", "try_parse_json(props) AS v")
         .selectExpr(
           "event_id",
-          "try_variant_get(try_parse_json(props), '$.k', 'int') AS k_var",
-          "try_variant_get(try_parse_json(props), '$.missing', 'string') AS missing",
-          "try_variant_get(try_parse_json(props), '$.k', 'int') > 50 AS k_gt50",
-          "schema_of_variant(try_parse_json(props)) AS vschema",
-          "to_json(try_parse_json(props)) AS canonical")
+          "try_variant_get(v, '$.k', 'int') AS k_var",
+          "try_variant_get(v, '$.missing', 'string') AS missing",
+          "try_variant_get(v, '$.k', 'int') > 50 AS k_gt50",
+          "schema_of_variant(v) AS vschema",
+          "to_json(v) AS canonical")
     }),
 
     // Null-semantics surface: null-safe equality (<=>), IS DISTINCT FROM

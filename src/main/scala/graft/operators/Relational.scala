@@ -549,12 +549,24 @@ object Relational extends QueryModule {
       val e = events(s, d).filter(col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), col("event_type"))
       val step = expr("INTERVAL 24 HOURS")
+      // r18 OPTIMIZATION (guide §2.4/§5): m1 and m2 each feed TWO
+      // consumers (the next step's join build + their own final count),
+      // and the join builds broadcast — which never participates in
+      // ReuseExchange (the r9 finding) — so the unpersisted form
+      // re-derived every step per consumer: 12 parquet scans of events
+      // in one plan (plans/r18/agg_funnel_steps_before.txt). persist()
+      // (the adjudicated multi-consumer idiom, see
+      // Dedup.prefixJaccardPairs) computes each step once: 3 scans, one
+      // per event_type leg. At 100 TB the same rule holds — a funnel
+      // stage is computed once and reused, never re-derived per arm.
       val m1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .persist()
       val m2 = e.filter(col("event_type") === "click")
         .join(m1, "user_id")
         .filter(col("ts") > col("t1") && col("ts") <= col("t1") + step)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        .persist()
       val m3 = e.filter(col("event_type") === "purchase")
         .join(m2, "user_id")
         .filter(col("ts") > col("t2") && col("ts") <= col("t2") + step)
@@ -634,11 +646,25 @@ object Relational extends QueryModule {
     // when counts roll up across engines. Oracle-checked with the same
     // tolerance-verdict recipe as agg_approx_hll: exact count + boolean
     // bound, sketch never crosses engines.
+    // r18 OPTIMIZATION (guide §2.3 "aggregate before you shuffle"):
+    // aggregate to the DISTINCT (event_type, user_id) grid FIRST, then
+    // sketch + count over the grid. The direct mixed distinct/sketch
+    // aggregate put partial_hll_sketch_agg BELOW the grid exchange — one
+    // multi-KB sketch buffer PER GRID ROW shuffled (plan-verified,
+    // plans/r18/agg_datasketch_hll_before.txt) where the grid itself is
+    // already the distinct set. Now exchange #1 carries 2 narrow columns
+    // and map-side partial aggregation dedups grid rows before they
+    // move; exchange #2 carries one sketch per GROUP. Result-identical:
+    // count(user_id) over the grid ≡ count(DISTINCT user_id), and HLL
+    // insertion is idempotent/order-insensitive (register max), so the
+    // sketch state — hence the estimate — is a pure function of the
+    // distinct value set either way.
     "agg_datasketch_hll" -> ((s, d) => {
       events(s, d)
         .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        .agg(count(col("user_id")).as("n_users_exact"),
           expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx"))
         .select(col("event_type"), col("n_users_exact"),
           (col("n_users_exact") === 0 ||
@@ -655,10 +681,21 @@ object Relational extends QueryModule {
     // both engines hash-match, making the sketch driver-checkable. The
     // verdict is deterministic (HLL is a pure function of the data, not a
     // random draw), and rsd=0.02 keeps the estimate well inside 2.5σ.
+    // r18 OPTIMIZATION — same grid-first rewrite as agg_datasketch_hll
+    // (guide §2.3): the direct form shuffled the 412-word HLL±± register
+    // buffer per (event_type, user_id) grid row (plan-verified,
+    // plans/r18/agg_approx_hll_before.txt); the grid-first form shuffles
+    // 2 columns with map-side dedup, then one sketch per group.
+    // approx_count_distinct over the distinct grid is value-identical
+    // (HLL register updates are idempotent max operations); NULL
+    // user_ids survive as one grid row per event_type and are skipped
+    // by count() and by the sketch exactly as countDistinct skipped
+    // them row-wise.
     "agg_approx_hll" -> ((s, d) => {
       events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        .agg(count(col("user_id")).as("n_users_exact"),
           approx_count_distinct(col("user_id"), 0.02).as("approx"))
         .select(col("event_type"), col("n_users_exact"),
           // exact=0 guard (r6 ADVICE): a group whose user_id values are

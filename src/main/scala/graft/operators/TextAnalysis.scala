@@ -141,21 +141,50 @@ object TextAnalysis extends QueryModule {
 
     // Quality scoring: length, stopword ratio, type-token ratio, mean
     // token length → fixed-weight composite in [0, 1].
+    // r18 OPTIMIZATION (guide step 2 / §4.1): ONE JIT'd mapPartitions
+    // token pass — the r2 text_lang_id lesson applied here. The
+    // expression form ran interpreted HOF lambdas (filter / transform /
+    // aggregate are CodegenFallback) and re-evaluated split(text) per
+    // consuming expression (each formula held its own copy; the quality
+    // composite repeated every component). Scala twins are exact:
+    // split(" ", -1) matches Spark split's trailing-empty semantics
+    // (the Dedup.codesDS rule), distinct-count matches array_distinct,
+    // codePointCount matches length()'s code-point semantics (the
+    // T.cpFold rule — a UTF-16 .length would diverge on astral chars),
+    // Int-over-Double division promotes identically, and the composite
+    // reuses the SAME raw doubles in the same order, so every emitted
+    // double is bit-identical to the expression form
+    // (TextParitySpec pins old-vs-new equality on adversarial corpora,
+    // unicode included). Rounding stays the shared DuckRound column
+    // (T.r6) applied above the fold — unchanged oracle contract.
     "text_quality_score" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val ttr = size(array_distinct(toks)) / nTok
-      val stopRatio = expr(s"size(filter(split(text, ' '), t -> t IN (${inList(stop)})))") / nTok
-      val avgLen = expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)") / nTok
-      val lenScore = least(nTok, lit(100.0)) / 100.0
-      documents(s, d).select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        r6(ttr).as("type_token_ratio"),
-        r6(stopRatio).as("stopword_ratio"),
-        r6(avgLen).as("avg_token_len"),
-        r6(ttr * 0.4 + lenScore * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
-          + stopRatio * 0.1).as("quality"))
+      import s.implicits._
+      val stopSet = stop.toSet
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val nTokI = toks.length
+          val nTok = nTokI.toDouble
+          var stopN = 0
+          var lenSum = 0
+          toks.foreach { t =>
+            if (stopSet(t)) stopN += 1
+            lenSum += t.codePointCount(0, t.length)
+          }
+          val ttr = toks.distinct.length / nTok
+          val stopRatio = stopN / nTok
+          val avgLen = lenSum / nTok
+          val lenScore = math.min(nTok, 100.0) / 100.0
+          val quality = ttr * 0.4 + lenScore * 0.3 +
+            math.min(avgLen / 10.0, 1.0) * 0.2 + stopRatio * 0.1
+          (id, nTokI, ttr, stopRatio, avgLen, quality)
+        })
+        .toDF("doc_id", "n_tokens", "ttr", "stop_ratio", "avg_len", "q")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("ttr")).as("type_token_ratio"),
+          r6(col("stop_ratio")).as("stopword_ratio"),
+          r6(col("avg_len")).as("avg_token_len"),
+          r6(col("q")).as("quality"))
     }),
 
     // Token counting three ways: whitespace split, BPE-ish regex pieces
@@ -201,25 +230,36 @@ object TextAnalysis extends QueryModule {
     // per-doc score joins bigrams back to both count tables (vocab-sized
     // ⇒ broadcast at real scale) and averages ln((c₁₂+1)/(c₁+V)).
     "text_bigram_lm" -> ((s, d) => {
-      // tok feeds three arms (bigram window, unigram counts, vocab) and
-      // big feeds two (corpus bigram counts + the scored join left side);
-      // two of those arms are broadcast builds, so without compute-once
-      // caching the posexplode (and the window pass) re-run per arm —
-      // persist, same idiom as Dedup.prefixJaccardPairs (r9).
-      val tok = documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("col", "token")
-        .persist()
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok
-        .withColumn("prev", lag(col("token"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("doc_id"), col("prev"), col("token"))
+      // r18 OPTIMIZATION (guide §2.4 "remove shuffles outright"): bigram
+      // adjacency is a property of each document's OWN token array, so
+      // the old lag-window derivation — Exchange(doc_id) + Sort + Window
+      // over the whole exploded token stream — paid a full shuffle for
+      // map-side information (plans/r18/text_bigram_lm_before.txt).
+      // Now: zip the split array against itself shifted by one
+      // (arrays_zip of two slices — plain codegen'd expressions, no
+      // interpreted lambdas) and explode the pairs; the layered select
+      // keeps ONE split per row (CollapseProject declines to inline a
+      // non-cheap alias used more than once). Same (doc_id, prev, token)
+      // multiset: position k pairs with k+1, first token never a
+      // 'token', last never a 'prev'; a 1-token doc yields no bigrams
+      // (slice length 0) exactly as the window's prev-NULL filter did.
+      // The vocabulary scalar now counts rows of the unigram aggregate
+      // (|distinct tokens| ≡ |uc groups|) instead of re-running a THIRD
+      // explode+distinct chain over the corpus; uc persists (2 consumers:
+      // broadcast build + vocab count), big persists as before (2
+      // consumers), tok is single-consumer now and needs no cache.
+      val big = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "arrays_zip(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1))")).as("bg"))
+        .select(col("doc_id"), col("bg.0").as("prev"), col("bg.1").as("token"))
         .persist()
       val bc = big.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c12"))
-      val uc = tok.groupBy(col("token").as("prev")).agg(count(lit(1)).as("c1"))
-      val v = tok.select(col("token")).distinct()
-        .agg(count(lit(1)).as("vocab"))
+      val uc = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("prev"))
+        .groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+        .persist()
+      val v = uc.agg(count(lit(1)).as("vocab"))
       big.join(broadcast(bc), Seq("prev", "token"))
         .join(broadcast(uc), Seq("prev"))
         .crossJoin(broadcast(v))
@@ -268,9 +308,19 @@ object TextAnalysis extends QueryModule {
     // over only the top-30 rows (TakeOrdered output), never the full
     // vocabulary.
     "text_zipf_coverage" -> ((s, d) => {
+      // r18 OPTIMIZATION (guide §2.4): tf feeds TWO consumers — the
+      // top-30 TakeOrdered and the corpus-total aggregate — and the
+      // total rides a broadcast build, which re-derived the whole
+      // explode+aggregate subtree (two full Scan+Generate chains in
+      // plans/r18/text_zipf_coverage_before.txt; broadcast builds don't
+      // participate in ReuseExchange, the r9 finding). persist() the
+      // vocabulary-sized tf aggregate: one token-stream scan, the total
+      // becomes a cheap cache re-read. Same fix PLANS.md round-3 noted
+      // ("at 100 TB one would cache the tf aggregate") but never applied.
       val tf = documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .persist()
       val total = tf.agg(sum(col("tf")).as("total"))
       val top = tf.orderBy(desc("tf"), col("token")).limit(30)
       // Constant partition key: the window input is the bounded top-30,

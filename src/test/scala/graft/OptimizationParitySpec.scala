@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r18 optimization round: every rewritten key is pinned OLD ≡ NEW.
+  *
+  * Each test keeps the pre-r18 implementation inline as the reference and
+  * asserts the optimized form produces the identical row multiset (Row
+  * equality is bit-sensitive for doubles: java.lang.Double.equals
+  * distinguishes -0.0/0.0 and makes NaN self-equal — stricter than ==).
+  * Fixture corpora cover the oracle-checked surface; the crafted corpora
+  * cover what fixtures can't (unicode astral chars, empty strings, NULL
+  * keys, parse-adversarial strings).
+  */
+class OptimizationParitySpec extends AnyFunSuite {
+  private val s = SparkFixture.spark
+  private val sf = SparkFixture.sf
+  import s.implicits._
+
+  private def multiset(df: DataFrame): Map[Row, Int] =
+    df.collect().toSeq.groupBy(identity).map { case (r, rs) => r -> rs.size }
+
+  private def assertSame(oldDf: DataFrame, newDf: DataFrame): Unit = {
+    assert(oldDf.columns.toSeq == newDf.columns.toSeq)
+    val o = multiset(oldDf)
+    val n = multiset(newDf)
+    assert(o == n, s"multisets differ: onlyOld=${(o.keySet -- n.keySet).take(3)} onlyNew=${(n.keySet -- o.keySet).take(3)}")
+  }
+
+  // ---- agg_approx_hll / agg_datasketch_hll: grid-first rewrite --------
+
+  private def hllOld(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+  private def hllNew(e: DataFrame): DataFrame =
+    e.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+
+  test("hll grid rewrite: sketch + exact count identical on the fixture") {
+    val e = T.events(s, sf)
+    assertSame(hllOld(e), hllNew(e))
+  }
+
+  test("hll grid rewrite: NULL user_ids and all-NULL groups identical") {
+    val e = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", null),
+      ("b", null), ("b", null),                    // all-NULL group
+      ("c", 3L), ("c", 3L), ("c", 3L),
+      (null, 4L), (null, null)                     // NULL group key
+    ).toDF("event_type", "user_id")
+    assertSame(hllOld(e), hllNew(e))
+  }
+
+  test("datasketch grid rewrite: estimate identical on the fixture") {
+    val e = T.events(s, sf).filter(col("user_id").isNotNull)
+    val o = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx"))
+    val n = e.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("n_users_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx"))
+    assertSame(o, n)
+  }
+
+  // ---- fn_try_ansi: guarded try_to_timestamp --------------------------
+
+  test("try_to_timestamp guard is a superset of parseable strings") {
+    val cases = Seq(
+      "2024-01-13", "2024-99-99", "0001-01-01", "9999-12-31",
+      " 2024-01-01", "\t2024-01-01", "+2024-01-01", "-0001-01-01",
+      "Brand#13", "", "x2024-01-01", "２０２４-01-01", "٢٠٢٤-01-01",
+      "2024-1-3", "20240113", "2024-01-13T00:00:00", "  ", "+", "-",
+      "2024-01-13 trailing", "01-2024-13", "999999999-01-01"
+    ).zipWithIndex
+    val df = cases.map { case (t, i) => (i.toLong, t) }.toDF("id", "brand")
+    df.createOrReplaceTempView("guard_probe")
+    val o = s.sql(
+      "SELECT id, try_to_timestamp(brand, 'yyyy-MM-dd') AS bad_ts FROM guard_probe")
+    val n = s.sql(
+      """SELECT id, CASE WHEN brand RLIKE '^\\s*[+-]?[0-9]'
+                    THEN try_to_timestamp(brand, 'yyyy-MM-dd') END AS bad_ts
+         FROM guard_probe""")
+    assertSame(o, n)
+  }
+
+  // ---- fn_variant: single-parse layered projection --------------------
+
+  test("fn_variant layered projection identical on the fixture") {
+    T.events(s, sf).createOrReplaceTempView("variant_parity")
+    val o = s.sql("""
+      SELECT event_id,
+             try_variant_get(try_parse_json(props), '$.k', 'int') AS k_var,
+             try_variant_get(try_parse_json(props), '$.missing', 'string') AS missing,
+             try_variant_get(try_parse_json(props), '$.k', 'int') > 50 AS k_gt50,
+             schema_of_variant(try_parse_json(props)) AS vschema,
+             to_json(try_parse_json(props)) AS canonical
+      FROM variant_parity""")
+    val n = SparkEntry.queries("fn_variant")(s, sf)
+    assertSame(o, n)
+  }
+
+  // ---- text_quality_score: JIT'd mapPartitions ------------------------
+
+  private def qualityOld(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "a", "in", "is")
+    val inList = stop.map(t => s"'$t'").mkString(", ")
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)) / nTok
+    val stopRatio = expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))") / nTok
+    val avgLen = expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)") / nTok
+    val lenScore = least(nTok, lit(100.0)) / 100.0
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      T.r6(ttr).as("type_token_ratio"),
+      T.r6(stopRatio).as("stopword_ratio"),
+      T.r6(avgLen).as("avg_token_len"),
+      T.r6(ttr * 0.4 + lenScore * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+        + stopRatio * 0.1).as("quality"))
+  }
+
+  test("quality score JIT pass identical on the fixture") {
+    assertSame(qualityOld(T.documents(s, sf)),
+      SparkEntry.queries("text_quality_score")(s, sf))
+  }
+
+  test("quality score JIT pass identical on an adversarial corpus") {
+    val texts = Seq(
+      "", " ", "  ", "the the the", "a", "xyzzy",
+      "the and of to a in is", ("tok " * 200).trim,
+      "😀 astral 😁 😀", // astral: codePointCount ≠ .length
+      "ümlaut tokens ümlaut", "tab\tinside token", "trailing space ",
+      " leading", "multi  space", "ネコ 猫 ねこ", "𝕊𝕡𝕒𝕣𝕜 𝕊𝕡𝕒𝕣𝕜"
+    ).zipWithIndex
+    val tmp = java.nio.file.Files.createTempDirectory("qparity").toString
+    texts.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try
+      assertSame(qualityOld(T.documents(s, tmp)),
+        SparkEntry.queries("text_quality_score")(s, tmp))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // ---- text_bigram_lm: map-side bigrams + vocab-from-uc ---------------
+
+  private def bigramOld(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tok
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("token"))
+    val bc = big.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c12"))
+    val uc = tok.groupBy(col("token").as("prev")).agg(count(lit(1)).as("c1"))
+    val v = tok.select(col("token")).distinct().agg(count(lit(1)).as("vocab"))
+    big.join(broadcast(bc), Seq("prev", "token"))
+      .join(broadcast(uc), Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        T.r6(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("vocab")))))
+          .as("avg_logp"))
+  }
+
+  test("bigram LM map-side rewrite identical on the fixture") {
+    assertSame(bigramOld(T.documents(s, sf)),
+      SparkEntry.queries("text_bigram_lm")(s, sf))
+  }
+
+  test("bigram LM map-side rewrite identical on an edge-case corpus") {
+    val texts = Seq(
+      "", "one", "one two", "a a a a", "x y x y x",
+      "the quick brown fox", "solo", " lead", "trail ", "a  b"
+    ).zipWithIndex
+    val tmp = java.nio.file.Files.createTempDirectory("bparity").toString
+    texts.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try
+      assertSame(bigramOld(T.documents(s, tmp)),
+        SparkEntry.queries("text_bigram_lm")(s, tmp))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // ---- dedup_near_minhash: JIT'd signature fold -----------------------
+
+  test("minhash JIT signatures equal the HOF expression spec") {
+    val rnd = new scala.util.Random(18)
+    val rows = (1L to 300L).map { id =>
+      val n = rnd.nextInt(40) // includes 0 — empty codes must be filtered
+      (id, Array.fill(n)(rnd.nextLong().abs % 2147483647L))
+    }
+    val docs = rows.toDF("doc_id", "codes")
+    val viaExprs = docs.filter(size(col("codes")) > 0)
+      .select(col("doc_id") +: operators.Dedup.minhashSigExprsSpec: _*)
+    val viaJit = operators.Dedup.minhashSigsDS(docs)
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        expr(s"element_at(sigs, ${i + 1})").as(s"sig$i")): _*)
+    assertSame(viaExprs, viaJit)
+  }
+}
