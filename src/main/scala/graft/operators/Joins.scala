@@ -243,30 +243,53 @@ object Joins extends QueryModule {
       // needs no checkpoint of its own — one Spark job per round, not
       // three (the frontier checkpoint is itself the round's action).
       var members = frontier
-      // Round bound DERIVED from the persisted edge dim, not hard-coded
+      // Depth bound DERIVED from the persisted edge dim, not hard-coded
       // (r6 ADVICE: a fixed 12 aborts the closure past p_partkey ≈ 4¹² —
       // TPC-H SF ≈ 84, exactly the scale regime this targets). Depth of
       // the 4-ary arithmetic tree from roots {1,2,3} to key k is
-      // ⌈log₄ k⌉; +1 spare round lets the loop OBSERVE the empty frontier
+      // ⌈log₄ k⌉; +1 spare level lets the loop OBSERVE the empty frontier
       // so the require below never fires on a complete closure.
       // max over an EMPTY edge dim is NULL — getLong would throw where
       // the correct closure is just the roots (all-empty probe, r11).
       val maxKey = Option(edges.agg(max(col("child"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val maxRounds =
+      val maxDepth =
         math.ceil(math.log(math.max(maxKey, 4).toDouble) / math.log(4)).toInt + 1
-      var round = 0
-      while (!frontier.isEmpty && round < maxRounds) {
-        frontier = frontier.join(broadcast(edges), col("node") === col("parent"))
+      // r18 OPTIMIZATION (guide §1.2 step 1 — fewer rounds, fewer
+      // barriers): expand TWO levels per round. The per-round cost here
+      // is the materialization barrier (one eager localCheckpoint job
+      // per round — ~90 ms fixed at fixture scale, measured sf0.001 vs
+      // sf0.1: 1.13 s at ~5 rounds vs 1.48 s at ~9 with 100× the data),
+      // not the category-dim-sized joins, so halving the round count
+      // halves the loop's fixed cost locally and its barrier count on a
+      // cluster. Each round joins the materialized frontier through the
+      // broadcast edge dim once for children and once more for
+      // grandchildren IN THE SAME PLAN (the broadcast build is
+      // exchange-reused within the query), checkpoints their level-
+      // tagged union in ONE job, folds both levels into members, and
+      // advances the frontier to the grandchild level. Children and
+      // grandchildren sit at distinct depths of a tree (unique parent
+      // paths), so the union carries no duplicates and the member
+      // multiset is IDENTICAL to the one-level loop's
+      // (brute-force-pinned in OptimizationParitySpec on random trees).
+      var depth = 0
+      while (!frontier.isEmpty && depth < maxDepth) {
+        val c = frontier.join(broadcast(edges), col("node") === col("parent"))
           .select(col("root"), col("child").as("node"))
+        val two = c.withColumn("lvl", lit(1))
+          .unionByName(
+            c.join(broadcast(edges), col("node") === col("parent"))
+              .select(col("root"), col("child").as("node"))
+              .withColumn("lvl", lit(2)))
           .localCheckpoint(true)
-        members = members.union(frontier)
-        round += 1
+        members = members.union(two.select(col("root"), col("node")))
+        frontier = two.filter(col("lvl") === 2).select(col("root"), col("node"))
+        depth += 2
       }
       // A silently-truncated closure would under-count every root's
       // subtree — fail loudly instead.
       require(frontier.isEmpty,
-        s"category closure did not converge within $round rounds (edge max key $maxKey)")
+        s"category closure did not converge within $depth levels (edge max key $maxKey)")
       // members is checkpoint-materialized (lineage-free), so dropping
       // the edge cache cannot force recomputation through it.
       edges.unpersist()

@@ -201,6 +201,58 @@ class OptimizationParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- join_category_closure: two-levels-per-round expansion ----------
+
+  test("category closure two-level rounds equal brute force on random trees") {
+    val rnd = new scala.util.Random(181)
+    // Three shapes: dense prefix, sparse with gaps (missing intermediate
+    // keys prune whole subtrees — parent edges only exist for PRESENT
+    // keys, but a present key's parent link exists even if the parent
+    // key itself is absent, exactly as the key builds edges), and a
+    // deep chain-ish sample.
+    val keySets = Seq(
+      (1L to 90L).toSeq,
+      Seq(1L, 2L, 3L, 5L, 17L, 21L, 68L, 200L, 273L, 1000L, 1093L, 4097L),
+      (1L to 300L).filter(_ => rnd.nextBoolean()).toSeq :+ 4096L
+    )
+    keySets.zipWithIndex.foreach { case (keys, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ccparity$i").toString
+      keys.map(k => (k, k * 1.5 + 0.25)).toDF("p_partkey", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      try {
+        // Driver brute force: BFS over parent = key div 4 edges among
+        // PRESENT keys (k >= 1), from roots {1,2,3}; roots count
+        // themselves when present in part.
+        val present = keys.toSet
+        val children: Map[Long, Seq[Long]] =
+          keys.filter(_ >= 1).groupBy(_ / 4).view.mapValues(_.toSeq).toMap
+        def reach(root: Long): Set[Long] = {
+          var seen = Set(root)
+          var frontier = Set(root)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(n => children.getOrElse(n, Nil))
+              .diff(seen)
+            seen ++= frontier
+          }
+          seen
+        }
+        val want = Seq(1L, 2L, 3L).map { r =>
+          val m = reach(r).filter(present)
+          (r.toInt, m.size.toLong,
+            m.toSeq.map(k => math.round((k * 1.5 + 0.25) * 100)).sum)
+        }.filter(_._2 > 0).toSet
+        val got = SparkEntry.queries("join_category_closure")(s, tmp)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want, s"keyset $i: got=$got want=$want")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   // ---- dedup_near_minhash: JIT'd signature fold -----------------------
 
   test("minhash JIT signatures equal the HOF expression spec") {
