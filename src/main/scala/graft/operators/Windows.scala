@@ -153,14 +153,37 @@ object Windows extends QueryModule {
 
     // first_value/last_value with an explicit full-partition frame (the
     // default frame stops at CURRENT ROW — the classic last_value trap).
+    // r18 OPTIMIZATION (guide §1.2 step 1): an UNBOUNDED-frame
+    // first/last is a per-GROUP scalar, so the window form paid
+    // Exchange(o_orderstatus) + a full Sort evaluated in ≤ |statuses| = 3
+    // tasks — the same bounded-parallelism class the round-7
+    // win_range_numeric rewrite removed (a 3-partition sort of the whole
+    // table at ANY scale). min_by/max_by on the (o_orderdate,
+    // o_orderkey) ordering struct compute the identical endpoints as a
+    // two-phase hash aggregate (map-side partials, parallelism = input
+    // partitions, no sort), and a broadcast join fans the group scalars
+    // back onto every row — the |statuses|-row build side broadcasts at
+    // any scale. (o_orderdate, o_orderkey) is a total order (orderkey
+    // unique), so endpoints are deterministic exactly as the sorted
+    // frame's were; struct comparison orders a NULL field first, the
+    // same NULLS FIRST the window's ascending sort used
+    // (OptimizationParitySpec pins old ≡ new incl. NULL dates).
     "win_first_last" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      orders(s, d)
+      val o = orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_orderdate"))
+      val fl = o.groupBy(col("o_orderstatus").as("st"))
+        .agg(
+          expr("min_by(o_orderkey, struct(o_orderdate, o_orderkey))").as("first_key"),
+          expr("max_by(o_orderkey, struct(o_orderdate, o_orderkey))").as("last_key"))
+      // NULL-SAFE join key: window partitionBy groups NULL statuses into
+      // a real partition and emits their rows, but a plain equi-join
+      // would silently drop them (NULL never equals NULL) — caught by
+      // the NULL-group-key parity case; <=> restores window semantics
+      // and remains a hashable broadcast-join key.
+      o.select(col("o_orderstatus"), col("o_orderkey"))
+        .join(broadcast(fl), col("o_orderstatus") <=> col("st"))
         .select(col("o_orderstatus"), col("o_orderkey"),
-          first(col("o_orderkey")).over(w).as("first_key"),
-          last(col("o_orderkey")).over(w).as("last_key"))
+          col("first_key"), col("last_key"))
     })
   )
 

@@ -201,6 +201,43 @@ class OptimizationParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- win_first_last: group-scalar agg + broadcast join --------------
+
+  private def firstLastOld(o: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_orderstatus"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_key"),
+      last(col("o_orderkey")).over(w).as("last_key"))
+  }
+
+  test("win_first_last agg rewrite identical on the fixture") {
+    assertSame(firstLastOld(T.orders(s, sf)),
+      SparkEntry.queries("win_first_last")(s, sf))
+  }
+
+  test("win_first_last agg rewrite identical with NULL order dates") {
+    val rows = Seq[(String, Long, java.lang.Integer)](
+      ("A", 1L, 20240101), ("A", 2L, null), ("A", 3L, 20231201),
+      ("B", 4L, null), ("B", 5L, null),         // all-NULL date group
+      ("C", 6L, 20240301),                       // singleton group
+      (null, 7L, 20240101), (null, 8L, 20240102) // NULL group key
+    )
+    val o = rows.toDF("o_orderstatus", "o_orderkey", "d")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        to_date(col("d").cast("string"), "yyyyMMdd").as("o_orderdate"))
+    val fl = o.groupBy(col("o_orderstatus").as("st"))
+      .agg(
+        expr("min_by(o_orderkey, struct(o_orderdate, o_orderkey))").as("first_key"),
+        expr("max_by(o_orderkey, struct(o_orderdate, o_orderkey))").as("last_key"))
+    val viaAgg = o.select(col("o_orderstatus"), col("o_orderkey"))
+      .join(broadcast(fl), col("o_orderstatus") <=> col("st"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("first_key"), col("last_key"))
+    assertSame(firstLastOld(o), viaAgg)
+  }
+
   // ---- join_category_closure: two-levels-per-round expansion ----------
 
   test("category closure two-level rounds equal brute force on random trees") {
