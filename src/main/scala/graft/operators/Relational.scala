@@ -1212,12 +1212,29 @@ object Relational extends QueryModule {
     // Multiset (bag) set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
     // multiplicities — planned as hash aggregates over count deltas, not
     // row-pairing; one shuffle each, same as distinct set ops.
+    // r18 OPTIMIZATION (guide §2.4): exceptAll and intersectAll each
+    // planned their own Union + sign-aggregate + replicate leg over the
+    // SAME two filtered scans — 4 events scans and 2 exchanges of the
+    // identical (user_id, event_type) projection (the legs' tag columns
+    // differ, so ReuseExchange can't merge them; see
+    // plans/r18/setop_multiset_before.txt). The b side is a subset of
+    // the a side BY THE KEY'S OWN FILTERS (value<50 ⊆ value<100), so a
+    // single grouped count pass yields both multiset multiplicities
+    // exactly: na−nb 'except_all' copies (max(na−nb,0) = na−nb since
+    // nb ≤ na) and min(na,nb) = nb 'intersect_all' copies — which is
+    // precisely Spark's own internal rewrite of these operators
+    // (union → count aggregate → replicate_rows), applied ONCE. One
+    // scan, one exchange; array_repeat(…, ≤0) is empty, so zero-count
+    // ops drop exactly as the operators dropped them. Old ≡ new pinned
+    // in OptimizationParitySpec incl. NULL keys and boundary values.
     "setop_multiset" -> ((s, d) => {
-      val e = events(s, d)
-      val a = e.filter(col("value") < 100).select(col("user_id"), col("event_type"))
-      val b = e.filter(col("value") < 50).select(col("user_id"), col("event_type"))
-      a.exceptAll(b).withColumn("op", lit("except_all"))
-        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      events(s, d).filter(col("value") < 100)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("na"), expr("count_if(value < 50)").as("nb"))
+        .select(col("user_id"), col("event_type"),
+          explode(concat(
+            expr("array_repeat('except_all', CAST(na - nb AS INT))"),
+            expr("array_repeat('intersect_all', CAST(nb AS INT))"))).as("op"))
     }),
 
     // Partition-pruned scan: date-partitioned at-rest layout (the 100 TB

@@ -201,6 +201,41 @@ class OptimizationParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- setop_multiset: one-pass counted replicate ----------------------
+
+  private def multisetOld(e: DataFrame): DataFrame = {
+    val a = e.filter(col("value") < 100).select(col("user_id"), col("event_type"))
+    val b = e.filter(col("value") < 50).select(col("user_id"), col("event_type"))
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+  }
+  private def multisetNew(e: DataFrame): DataFrame =
+    e.filter(col("value") < 100)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("na"), expr("count_if(value < 50)").as("nb"))
+      .select(col("user_id"), col("event_type"),
+        explode(concat(
+          expr("array_repeat('except_all', CAST(na - nb AS INT))"),
+          expr("array_repeat('intersect_all', CAST(nb AS INT))"))).as("op"))
+
+  test("setop_multiset counted replicate identical on the fixture") {
+    val e = T.events(s, sf)
+    assertSame(multisetOld(e), multisetNew(e))
+  }
+
+  test("setop_multiset counted replicate identical on adversarial values") {
+    val rows = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 10.0), (1L, "a", 10.0), (1L, "a", 60.0),   // na=3, nb=2
+      (2L, "b", 49.999), (2L, "b", 50.0), (2L, "b", 99.999), // 50 not <50
+      (3L, "c", 100.0), (3L, "c", 150.0),                   // filtered out entirely
+      (4L, "d", 40.0), (4L, "d", 40.0),                     // na=nb=2: except empty
+      (null, "e", 10.0), (null, null, 70.0),                // NULL keys group
+      (5L, "f", Double.NaN), (5L, "f", java.lang.Double.valueOf(-1.0)), // NaN<100 false
+      (6L, null, 99.0)
+    ).toDF("user_id", "event_type", "value")
+    assertSame(multisetOld(rows), multisetNew(rows))
+  }
+
   // ---- win_first_last: group-scalar agg + broadcast join --------------
 
   private def firstLastOld(o: DataFrame): DataFrame = {
