@@ -142,6 +142,18 @@ object T {
   /** events.ts truncated to day as DATE (identical in Spark and DuckDB). */
   def day(c: Column): Column = date_trunc("DAY", c).cast("date")
 
+  /** SQL fragment: BIGINT expression cast to INT, failing LOUDLY on
+    * overflow (r18 ADVICE on setop_multiset): a plain CAST wraps negative
+    * under ANSI-off and array_repeat on a negative count silently returns
+    * an empty array — silent row loss. Unreachable below ~2^31 rows per
+    * group, but keys that argue 100 TB semantics must fail, not lose rows.
+    * The guarded value is identical to CAST(e AS INT) whenever it fits.
+    */
+  def intExactSql(e: String): String =
+    s"CASE WHEN ($e) <= 2147483647 THEN CAST(($e) AS INT) " +
+      s"ELSE CAST(raise_error(CONCAT('count exceeds Int.MaxValue: ', " +
+      s"CAST(($e) AS STRING))) AS INT) END"
+
   // NOTE on input layout (2026-08-13 fixture regeneration): every fixture
   // table is now ONE parquet row group, and a parquet scan parallelizes at
   // row-group granularity — scan-fused stages run single-task at any

@@ -59,6 +59,14 @@ object Verify {
           }.getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}$ctx")
       }
+      // Mirror Bench's per-key cache discipline (r18 ADVICE): several keys
+      // persist() multi-consumer subtrees with no in-key unpersist (funnel
+      // m1/m2, bigram big/uc, zipf tf, tfidf, embed-cosine assignment);
+      // without this the 138-key loop accumulates MEMORY_AND_DISK blocks
+      // for the whole verify run — pressure only, but it grows with every
+      // optimization round that adds a persist.
+      finally
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1227,14 +1227,20 @@ object Relational extends QueryModule {
     // scan, one exchange; array_repeat(…, ≤0) is empty, so zero-count
     // ops drop exactly as the operators dropped them. Old ≡ new pinned
     // in OptimizationParitySpec incl. NULL keys and boundary values.
+    // r19 (r18 ADVICE): the INT casts are overflow-guarded — a per-group
+    // multiplicity above Int.MaxValue now raises instead of wrapping
+    // negative and silently emitting an empty array (Spark's internal
+    // ReplicateRows rewrite carries Long counts; a replicated ARRAY
+    // cannot, so the honest contract at that scale is a loud failure).
     "setop_multiset" -> ((s, d) => {
       events(s, d).filter(col("value") < 100)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("na"), expr("count_if(value < 50)").as("nb"))
         .select(col("user_id"), col("event_type"),
           explode(concat(
-            expr("array_repeat('except_all', CAST(na - nb AS INT))"),
-            expr("array_repeat('intersect_all', CAST(nb AS INT))"))).as("op"))
+            expr(s"array_repeat('except_all', ${T.intExactSql("na - nb")})"),
+            expr(s"array_repeat('intersect_all', ${T.intExactSql("nb")})")))
+            .as("op"))
     }),
 
     // Partition-pruned scan: date-partitioned at-rest layout (the 100 TB

@@ -157,11 +157,19 @@ object TextAnalysis extends QueryModule {
     // (TextParitySpec pins old-vs-new equality on adversarial corpora,
     // unicode included). Rounding stays the shared DuckRound column
     // (T.r6) applied above the fold — unchanged oracle contract.
+    // r19 (r18 ADVICE): NULL text emits NULL metrics — the expression
+    // form degraded that way (split(NULL) → NULL propagates through every
+    // metric), and the r18 JIT rewrite must not tighten the contract to
+    // an NPE just because the fixture happens to be non-null.
     "text_quality_score" -> ((s, d) => {
       import s.implicits._
       val stopSet = stop.toSet
       documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
+          if (text == null)
+            (id, None: Option[Int], None: Option[Double],
+              None: Option[Double], None: Option[Double], None: Option[Double])
+          else {
           val toks = text.split(" ", -1)
           val nTokI = toks.length
           val nTok = nTokI.toDouble
@@ -177,7 +185,9 @@ object TextAnalysis extends QueryModule {
           val lenScore = math.min(nTok, 100.0) / 100.0
           val quality = ttr * 0.4 + lenScore * 0.3 +
             math.min(avgLen / 10.0, 1.0) * 0.2 + stopRatio * 0.1
-          (id, nTokI, ttr, stopRatio, avgLen, quality)
+          (id, Some(nTokI), Some(ttr), Some(stopRatio), Some(avgLen),
+            Some(quality))
+          }
         })
         .toDF("doc_id", "n_tokens", "ttr", "stop_ratio", "avg_len", "q")
         .select(col("doc_id"), col("n_tokens"),

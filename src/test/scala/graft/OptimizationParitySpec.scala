@@ -138,7 +138,10 @@ class OptimizationParitySpec extends AnyFunSuite {
       "the and of to a in is", ("tok " * 200).trim,
       "😀 astral 😁 😀", // astral: codePointCount ≠ .length
       "ümlaut tokens ümlaut", "tab\tinside token", "trailing space ",
-      " leading", "multi  space", "ネコ 猫 ねこ", "𝕊𝕡𝕒𝕣𝕜 𝕊𝕡𝕒𝕣𝕜"
+      " leading", "multi  space", "ネコ 猫 ねこ", "𝕊𝕡𝕒𝕣𝕜 𝕊𝕡𝕒𝕣𝕜",
+      // r19 (r18 ADVICE): NULL text must yield NULL metrics in both forms
+      // (split(NULL) propagates NULL in the expression twin), not an NPE.
+      null
     ).zipWithIndex
     val tmp = java.nio.file.Files.createTempDirectory("qparity").toString
     texts.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -215,8 +218,25 @@ class OptimizationParitySpec extends AnyFunSuite {
       .agg(count(lit(1)).as("na"), expr("count_if(value < 50)").as("nb"))
       .select(col("user_id"), col("event_type"),
         explode(concat(
-          expr("array_repeat('except_all', CAST(na - nb AS INT))"),
-          expr("array_repeat('intersect_all', CAST(nb AS INT))"))).as("op"))
+          expr(s"array_repeat('except_all', ${T.intExactSql("na - nb")})"),
+          expr(s"array_repeat('intersect_all', ${T.intExactSql("nb")})")))
+          .as("op"))
+
+  test("intExactSql passes values through unchanged and raises on overflow") {
+    // In-range: identical to a plain INT cast, including 0 and Int.MaxValue.
+    val ok = Seq(0L, 3L, Int.MaxValue.toLong).toDF("cnt")
+      .selectExpr(s"${T.intExactSql("cnt")} AS c").collect().map(_.getInt(0))
+    assert(ok.toSeq == Seq(0, 3, Int.MaxValue))
+    // Overflow: loud failure, not a wrapped-negative empty array_repeat.
+    val e = intercept[Exception] {
+      Seq(Int.MaxValue.toLong + 1).toDF("cnt")
+        .selectExpr(s"${T.intExactSql("cnt")} AS c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(msgs(e).exists(_.contains("count exceeds Int.MaxValue")), msgs(e))
+  }
 
   test("setop_multiset counted replicate identical on the fixture") {
     val e = T.events(s, sf)
