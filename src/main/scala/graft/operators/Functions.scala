@@ -355,8 +355,28 @@ object Functions extends QueryModule {
       s.sql("""
         SELECT p_partkey,
                round(try_divide(p_retailprice, p_size - 25), 6) + 0.0 AS div_maybe,
-               try_add(9223372036854775807, p_partkey) AS add_ovf,
-               try_cast(p_brand AS INT) AS bad_cast,
+               -- r19 OPTIMIZATION (guide step 2, the r18 bad_ts lesson
+               -- applied to the two remaining exception-driven arms;
+               -- TryProbe measured add 0.37 s / cast 0.21 s of this key's
+               -- 0.82 s — every fixture row pays a Java exception in both):
+               -- try_add: MAX + x overflows IFF x > 0 (x ≤ 0 keeps the sum
+               -- in [MAX+MIN, MAX] = [-1, MAX]), so the guard is an exact
+               -- algebraic identity for ALL bigints, not a fixture
+               -- convention: overflowing rows were NULL and stay NULL,
+               -- non-overflowing rows run the IDENTICAL call.
+               CASE WHEN p_partkey <= 0
+                    THEN try_add(9223372036854775807, p_partkey) END AS add_ovf,
+               -- try_cast string→INT: the ANSI parser trims [\x00-\x20]
+               -- then requires a sign or ASCII digit first — the guard
+               -- class is exactly that trim set (WIDER than regex \s:
+               -- UTF8String.trimAll eats control chars \x00-\x08,
+               -- \x0E-\x1F that \s does not), so it is a provable
+               -- SUPERSET of parseable strings; guard-passing rows run
+               -- the identical call (OptimizationParitySpec pins both
+               -- arms on adversarial strings incl. control-char
+               -- whitespace).
+               CASE WHEN p_brand RLIKE '^[\\x00- ]*[+-]?[0-9]'
+                    THEN try_cast(p_brand AS INT) END AS bad_cast,
                -- (negative index reads FROM THE END — element_at
                --  semantics, mirrored in the oracle's CASE arms)
                try_element_at(array(1, 2), CAST(nullif(p_size, 0) AS INT)) AS elem,

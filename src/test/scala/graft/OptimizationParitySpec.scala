@@ -90,6 +90,48 @@ class OptimizationParitySpec extends AnyFunSuite {
     assertSame(o, n)
   }
 
+  // ---- fn_try_ansi r19: guarded try_add / try_cast ---------------------
+
+  test("try_add overflow guard is an exact identity for all bigints") {
+    val cases = Seq[java.lang.Long](
+      0L, 1L, -1L, 42L, -42L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 1, Long.MaxValue - 1, null)
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "k")
+    df.createOrReplaceTempView("add_probe")
+    val o = s.sql(
+      "SELECT id, try_add(9223372036854775807, k) AS add_ovf FROM add_probe")
+    val n = s.sql(
+      """SELECT id, CASE WHEN k <= 0
+                    THEN try_add(9223372036854775807, k) END AS add_ovf
+         FROM add_probe""")
+    assertSame(o, n)
+  }
+
+  test("try_cast INT guard is a superset of ANSI-parseable strings") {
+    val cases = Seq(
+      "123", "+123", "-123", "0", " 42", "42 ", "\t7", "2147483647",
+      "2147483648",            // parses as long, overflows INT → NULL both
+      "-2147483648", "-2147483649",
+      "Brand#13", "", " ", "abc", "12abc", "1.5", ".5", "+.5", "1e3",
+      "１２３",                 // fullwidth digits: not ASCII → NULL both
+      // control-char whitespace: UTF8String.trimAll eats every char in
+      // [\x00-\x20], so "\u00011" and "\u000B9" parse WITHOUT the
+      // leading char; a plain regex \s guard (excludes \x01) would
+      // diverge on the first one.
+      "\u0001" + "1", "\u000B" + "9",
+      "+", "-", "--1", "++1", "0x1F", "  +0  "
+    ).zipWithIndex
+    val df = cases.map { case (t, i) => (i.toLong, t) }.toDF("id", "brand")
+    df.createOrReplaceTempView("cast_probe")
+    val o = s.sql("SELECT id, try_cast(brand AS INT) AS bad_cast FROM cast_probe")
+    val n = s.sql(
+      """SELECT id, CASE WHEN brand RLIKE '^[\\x00- ]*[+-]?[0-9]'
+                    THEN try_cast(brand AS INT) END AS bad_cast
+         FROM cast_probe""")
+    assertSame(o, n)
+  }
+
   // ---- fn_variant: single-parse layered projection --------------------
 
   test("fn_variant layered projection identical on the fixture") {
