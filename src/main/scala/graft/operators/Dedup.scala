@@ -339,7 +339,7 @@ object Dedup extends QueryModule {
     * 799999/1000000, NOT the gate: see prefixJaccardPairs for why pruning
     * at exactly 4/5 could drop a pair the rounded gate accepts.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     prefixJaccardPairs(codesDS(s, d).select(col("doc_id"), col("codes")),
       799999, 1000000)
 
